@@ -1,0 +1,211 @@
+"""Single configuration tree for the whole framework.
+
+The reference scattered its configuration over per-script argparse flags
+(train_unet.py:29-79, train_vae.py:30-84, train_cgcnn.py:29-68,
+create_matrices.py:41-81) and hardcoded grid size 32 in post-processing
+(watershed.py:178-180, generate.py:211-221).  Here every knob lives in one
+dataclass tree; `GridSpec` owns all voxel-grid geometry so nothing downstream
+hardcodes the resolution.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Sequence, Tuple
+
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class GridSpec:
+    """Geometry of the voxel grids.
+
+    The cell of a structure with lattice lengths (a, b, c) is padded by
+    ``eps_frac`` of each length on both sides, then divided into ``d`` voxels
+    per axis (reference: utils.py:98-115 for the density grid,
+    utils.py:88-94 for the coordinate grid).
+    """
+
+    d: int = 32                 # voxels per axis
+    eps_frac: float = 0.25      # fractional cell padding per side
+    density_channels: int = 1   # electron-density channel count
+    coord_channels: int = 3     # absolute-coordinate channels
+
+    @property
+    def shape(self) -> Tuple[int, int, int]:
+        return (self.d, self.d, self.d)
+
+    @property
+    def channels(self) -> int:
+        return self.density_channels + self.coord_channels
+
+    @property
+    def input_shape(self) -> Tuple[int, int, int, int]:
+        return (self.d, self.d, self.d, self.channels)
+
+    @property
+    def num_voxels(self) -> int:
+        return self.d ** 3
+
+    def voxel_sizes(self, abc):
+        """Per-axis voxel edge lengths dv for lattice lengths abc.
+
+        Reference: utils.py:105-108 (dx = (a + 2*a*eps)/d etc.).
+        """
+        abc = jnp.asarray(abc)
+        return abc * (1.0 + 2.0 * self.eps_frac) / self.d
+
+
+@dataclasses.dataclass(frozen=True)
+class VoxelizerConfig:
+    """Voxelization of structures into density/species grids.
+
+    Reference: create_matrices.py:41-81 CLI defaults.
+    """
+
+    grid: GridSpec = GridSpec()
+    sigma_frac: float = 1.0     # Gaussian width as fraction of ionic radius
+    label_frac: float = 1.0     # labeling radius as fraction of ionic radius
+    max_sites: int = 40         # skip structures with more sites
+    site_pad: int = 64          # padded site-array length (device shapes)
+    n_rot: int = 10             # 90-degree rotation augmentations per sample
+
+
+@dataclasses.dataclass(frozen=True)
+class UNetConfig:
+    """3D U-Net species segmenter (reference: unet/unet.py:272-355).
+
+    Encoder convs (32,64 | 64,128 | 128,256) with 2x maxpool between levels,
+    bottleneck (512,512), decoder (512,256 | 256,128 | 128,128) with 2x
+    upsampling and skip concats; two 1x1x1 heads: `soft` (num_classes-way
+    softmax) and `sig` (binary sigmoid).
+    """
+
+    num_classes: int = 95
+    in_channels: int = 4
+    enc_filters: Tuple[Tuple[int, int], ...] = ((32, 64), (64, 128), (128, 256))
+    bottom_filters: Tuple[int, int] = (512, 512)
+    dec_filters: Tuple[Tuple[int, int], ...] = ((512, 256), (256, 128), (128, 128))
+    bn_momentum: float = 0.99   # Keras BatchNormalization default
+    bn_epsilon: float = 1e-3    # Keras BatchNormalization default
+    dtype: str = "bfloat16"     # compute dtype; params stay float32
+
+
+@dataclasses.dataclass(frozen=True)
+class VAEConfig:
+    """Conditional DFC-VAE (reference: vae/lattice_vae.py:89-230).
+
+    The condition is a `cond_bins`-way one-hot broadcast over the spatial grid
+    and concatenated to the input channels.  ``cond_repeat`` exists because the
+    reference's Keras `K.tile` call (vae/lattice_vae.py:167-168) left-pads its
+    rank-4 multiples numpy-style over the rank-5 tensor, producing a redundant
+    4x channel repeat of the one-hot (a (32,32,32,40) condition block).  The
+    default here is the clean single copy; set ``cond_repeat=4`` to reproduce
+    the reference's encoder input width.
+    """
+
+    grid: GridSpec = GridSpec()
+    filters: Tuple[int, ...] = (16, 32, 64, 128)
+    kernel_size: Tuple[int, int, int] = (3, 3, 3)
+    latent_dim: int = 256
+    cond_bins: int = 10
+    cond_repeat: int = 1
+    alpha: float = 0.5          # perceptual-loss weight (vae/lattice_vae.py:97)
+    beta: float = 3e-4          # KLD weight (vae/lattice_vae.py:96)
+    leaky_slope: float = 0.3    # Keras LeakyReLU default alpha
+    bn_momentum: float = 0.99
+    bn_epsilon: float = 1e-3
+    # 1-based indices of encoder-path convs of the U-Net whose post-ReLU
+    # activations feed the perceptual loss.  The reference taps Keras layers
+    # re_lu_2/4/6/8 (vae/lattice_vae.py:100) = the ReLUs after the 3rd, 5th,
+    # 7th and 9th Conv3D of the saved U-Net.
+    perceptual_taps: Tuple[int, ...] = (3, 5, 7, 9)
+    perceptual_tap_weights: Tuple[float, ...] = (1.0, 1.0, 1.0, 1.0)
+    dtype: str = "bfloat16"
+
+
+@dataclasses.dataclass(frozen=True)
+class CGCNNConfig:
+    """Crystal-graph convnet property regressor (reference: cgcnn/cgcnn.py:145-160).
+
+    Fixed device shapes: graphs padded to ``max_atoms`` nodes with
+    ``max_neighbors`` edges each; bond distances expanded on a Gaussian basis
+    of ``num_bond_features`` centers in [dmin, radius] with spacing ``step``
+    (reference: cgcnn/data.py:75-112,149-155).
+    """
+
+    atom_input_dim: int = 93
+    atom_fea_len: int = 64
+    max_atoms: int = 50
+    max_neighbors: int = 12
+    radius: float = 8.0
+    dmin: float = 0.0
+    step: float = 0.2
+    n_conv: int = 1
+    hidden_dim: int = 128
+    bn_epsilon: float = 1e-5
+    dtype: str = "float32"
+
+    @property
+    def num_bond_features(self) -> int:
+        # arange(dmin, radius + step, step) -> 41 for the defaults
+        return int(round((self.radius - self.dmin) / self.step)) + 1
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    """Optimization + checkpointing knobs shared by the training drivers.
+
+    Reference defaults: U-Net bs=10 lr=3e-6 (train_unet.py:53-61), VAE bs=20
+    lr=5e-4 250 epochs (train_vae.py:46-52, vae/lattice_vae.py:98), CGCNN
+    bs=32 lr=1e-3 60 epochs (train_cgcnn.py:38,89,102).
+    """
+
+    batch_size: int = 20
+    learning_rate: float = 5e-4
+    epochs: int = 50
+    split_frac: float = 0.8
+    split_seed: int = 28        # utils.py:36 default seed
+    n_rot: int = 10
+    seed: int = 0
+    checkpoint_dir: str = "checkpoints"
+    keep_best_only: bool = True
+    log_every_steps: int = 50
+
+
+@dataclasses.dataclass(frozen=True)
+class MeshConfig:
+    """Device-mesh layout for pjit/shard_map parallelism.
+
+    ``data`` shards the batch (DP); ``spatial`` shards the depth axis of the
+    voxel grids with halo exchange for large-grid training — the conv-net
+    analog of sequence parallelism (no attention exists in these models).
+    """
+
+    data_axis: str = "data"
+    spatial_axis: str = "spatial"
+    data_parallel: int = -1     # -1: all devices
+    spatial_parallel: int = 1
+
+
+@dataclasses.dataclass(frozen=True)
+class PipelineConfig:
+    """End-to-end pipeline (generation/eval) knobs.
+
+    Reference: generate.py:50-103, eval.py:57-105.
+    """
+
+    grid: GridSpec = GridSpec()
+    cond_bins: int = 10
+    target: str = "formation_energy_per_atom"
+    sample_var: float = 0.5
+    binary_threshold: float = 0.8   # occupancy threshold (generate.py:224)
+    watershed_max_iters: int = 5
+    watershed_wmin: int = 8
+    watershed_min_convexity: float = 0.8
+    cell_angles: Tuple[float, float, float] = (90.0, 90.0, 90.0)
+
+
+def replace(cfg, **kwargs):
+    """Convenience wrapper over dataclasses.replace."""
+    return dataclasses.replace(cfg, **kwargs)

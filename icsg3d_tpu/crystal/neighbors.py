@@ -1,0 +1,68 @@
+"""Periodic neighbor finding.
+
+Replaces pymatgen's ``Structure.get_all_neighbors(radius, include_index=True)``
+(used by the crystal-graph featurizer, reference cgcnn/data.py:191) with a
+vectorized supercell sweep.
+"""
+
+from __future__ import annotations
+
+from typing import List, Tuple
+
+import numpy as np
+
+from icsg3d_tpu.crystal.structure import Structure
+
+
+def _image_range(lattice_matrix: np.ndarray, radius: float) -> np.ndarray:
+    """How many periodic images per axis are needed to cover ``radius``.
+
+    Uses the perpendicular distance between lattice planes: the spacing along
+    axis i is 1/|row_i of inv(M)| (the reciprocal-vector norm).
+    """
+    inv = np.linalg.inv(lattice_matrix)
+    spacing = 1.0 / np.linalg.norm(inv, axis=0)  # distance between planes
+    return np.maximum(np.ceil(radius / spacing).astype(int), 1)
+
+
+def neighbor_list(
+    structure: Structure, radius: float = 8.0
+) -> List[List[Tuple[float, int]]]:
+    """All neighbors of every site within ``radius`` Angstrom.
+
+    Returns, per site, a list of (distance, neighbor_site_index) sorted by
+    distance — the fields the graph featurizer consumes (cgcnn/data.py:192-208
+    sorts pymatgen neighbor tuples by distance and keeps x[1]=distance,
+    x[2]=index).
+    """
+    n = len(structure)
+    if n == 0:
+        return []
+    M = structure.lattice.matrix
+    frac = structure.frac_coords % 1.0
+    cart = frac @ M
+
+    na, nb, nc = _image_range(M, radius)
+    shifts = np.array(
+        [
+            (i, j, k)
+            for i in range(-na, na + 1)
+            for j in range(-nb, nb + 1)
+            for k in range(-nc, nc + 1)
+        ],
+        dtype=float,
+    )
+    # all images of all sites: (n_images, n_sites, 3)
+    images = cart[None, :, :] + (shifts @ M)[:, None, :]
+    flat = images.reshape(-1, 3)
+    idx = np.tile(np.arange(n), len(shifts))
+    is_central = np.repeat((shifts == 0).all(axis=1), n)
+
+    out: List[List[Tuple[float, int]]] = []
+    for i in range(n):
+        d = np.linalg.norm(flat - cart[i], axis=1)
+        keep = (d <= radius) & ~((d < 1e-8) & is_central & (idx == i))
+        order = np.argsort(d[keep], kind="stable")
+        dk, ik = d[keep][order], idx[keep][order]
+        out.append(list(zip(dk.tolist(), ik.tolist())))
+    return out

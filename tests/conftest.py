@@ -1,0 +1,23 @@
+"""Test configuration.
+
+Forces JAX onto 8 virtual CPU devices so mesh/pjit/shard_map tests run
+without TPU hardware (the standard JAX trick; SURVEY.md section 4).  Must
+run before jax is imported anywhere in the test process.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)

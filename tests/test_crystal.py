@@ -1,0 +1,223 @@
+"""Tests for the standalone crystal stack (elements, lattice, CIF, neighbors)."""
+
+import numpy as np
+import pytest
+
+from icsg3d_tpu.crystal import Lattice, Site, Structure, elements
+from icsg3d_tpu.crystal.cif import parse_cif, parse_symop, read_cif, structure_to_cif
+from icsg3d_tpu.crystal.neighbors import neighbor_list
+
+
+class TestElements:
+    def test_symbol_roundtrip(self):
+        for z in range(1, elements.MAX_Z + 1):
+            assert elements.symbol_to_z(elements.z_to_symbol(z)) == z
+
+    def test_symbol_with_oxidation_suffix(self):
+        assert elements.symbol_to_z("Fe3+") == 26
+        assert elements.symbol_to_z("O2-") == 8
+
+    def test_groups_periods(self):
+        assert elements.group(1) == 1 and elements.period(1) == 1
+        assert elements.group(2) == 18
+        assert elements.group(8) == 16 and elements.period(8) == 2
+        assert elements.group(26) == 8 and elements.period(26) == 4
+        assert elements.group(57) == 3 and elements.period(57) == 6  # La
+        assert elements.group(72) == 4  # Hf
+        assert elements.group(86) == 18  # Rn
+
+    def test_blocks(self):
+        assert elements.block(11) == "s"
+        assert elements.block(6) == "p"
+        assert elements.block(26) == "d"
+        assert elements.block(60) == "f"
+
+    def test_ionic_radius_fallback(self):
+        # Noble gases without tabulated ionic radii fall back to 1.20
+        assert elements.mean_ionic_radius(2) == pytest.approx(1.20)
+        assert elements.mean_ionic_radius(26) < 1.0
+        # all radii positive and physically sized
+        r = elements.MEAN_IONIC_RADIUS_A[1:]
+        assert np.all((r > 0.1) & (r < 2.5))
+
+
+class TestLattice:
+    def test_parameter_roundtrip(self):
+        lat = Lattice.from_parameters(5.4, 6.1, 7.9, 88.0, 95.0, 102.0)
+        a, b, c, al, be, ga = lat.parameters
+        assert (a, b, c) == pytest.approx((5.4, 6.1, 7.9))
+        assert (al, be, ga) == pytest.approx((88.0, 95.0, 102.0))
+
+    def test_cartesian_fractional_roundtrip(self, rng):
+        lat = Lattice.from_parameters(4.0, 5.0, 6.0, 80.0, 100.0, 110.0)
+        frac = rng.random((10, 3))
+        assert np.allclose(lat.fractional(lat.cartesian(frac)), frac)
+
+    def test_orthorhombic_volume(self):
+        lat = Lattice.from_parameters(2.0, 3.0, 4.0)
+        assert lat.volume == pytest.approx(24.0)
+
+
+class TestSymop:
+    def test_identity(self):
+        R, t = parse_symop("x, y, z")
+        assert np.allclose(R, np.eye(3)) and np.allclose(t, 0)
+
+    def test_rotation_translation(self):
+        R, t = parse_symop("-y, x-y, z+1/2")
+        frac = np.array([0.1, 0.2, 0.3])
+        out = frac @ R.T + t
+        assert out == pytest.approx([-0.2, 0.1 - 0.2, 0.8])
+
+    def test_rejects_malicious(self):
+        with pytest.raises(ValueError):
+            parse_symop("__import__('os'), y, z")
+
+
+PEROVSKITE_CIF = """\
+data_SrTiO3
+_symmetry_space_group_name_H-M   'P 1'
+_cell_length_a   3.905
+_cell_length_b   3.905
+_cell_length_c   3.905
+_cell_angle_alpha   90.0
+_cell_angle_beta   90.0
+_cell_angle_gamma   90.0
+loop_
+ _symmetry_equiv_pos_site_id
+ _symmetry_equiv_pos_as_xyz
+  1  'x, y, z'
+loop_
+ _atom_site_type_symbol
+ _atom_site_label
+ _atom_site_symmetry_multiplicity
+ _atom_site_fract_x
+ _atom_site_fract_y
+ _atom_site_fract_z
+ _atom_site_occupancy
+  Sr  Sr0  1  0.0  0.0  0.0  1
+  Ti  Ti1  1  0.5  0.5  0.5  1
+  O   O2   1  0.5  0.5  0.0  1
+  O   O3   1  0.5  0.0  0.5  1
+  O   O4   1  0.0  0.5  0.5  1
+"""
+
+SYMMETRIZED_CIF = """\
+data_test
+_cell_length_a   4.0
+_cell_length_b   4.0
+_cell_length_c   4.0
+_cell_angle_alpha   90.0
+_cell_angle_beta   90.0
+_cell_angle_gamma   90.0
+loop_
+ _symmetry_equiv_pos_site_id
+ _symmetry_equiv_pos_as_xyz
+  1  'x, y, z'
+  2  '-x, -y, -z'
+loop_
+ _atom_site_type_symbol
+ _atom_site_label
+ _atom_site_symmetry_multiplicity
+ _atom_site_fract_x
+ _atom_site_fract_y
+ _atom_site_fract_z
+ _atom_site_occupancy
+  Na  Na0  2  0.25  0.25  0.25  1
+"""
+
+
+class TestCif:
+    def test_parse_perovskite(self):
+        s = parse_cif(PEROVSKITE_CIF)
+        assert len(s) == 5
+        assert sorted(s.atomic_numbers.tolist()) == [8, 8, 8, 22, 38]
+        assert s.lattice.a == pytest.approx(3.905)
+
+    def test_symops_expand_sites(self):
+        s = parse_cif(SYMMETRIZED_CIF)
+        # 0.25 and 0.75 positions from the inversion operator
+        assert len(s) == 2
+        coords = np.sort(s.frac_coords, axis=0)
+        assert coords[0] == pytest.approx([0.25, 0.25, 0.25])
+        assert coords[1] == pytest.approx([0.75, 0.75, 0.75])
+
+    def test_roundtrip(self, tmp_path):
+        s = parse_cif(PEROVSKITE_CIF)
+        text = structure_to_cif(s, name="SrTiO3")
+        s2 = parse_cif(text)
+        assert len(s2) == len(s)
+        assert np.allclose(
+            np.sort(s2.frac_coords, axis=0), np.sort(s.frac_coords, axis=0), atol=1e-6
+        )
+        p = tmp_path / "x.cif"
+        p.write_text(text)
+        s3 = read_cif(str(p))
+        assert len(s3) == 5
+
+
+class TestStructure:
+    def test_site_arrays_translates_to_origin(self):
+        s = parse_cif(SYMMETRIZED_CIF)
+        N, z, r = s.site_arrays()
+        assert N.min(axis=0) == pytest.approx([0.0, 0.0, 0.0])
+        assert set(z.tolist()) == {11.0}
+        assert np.all(r > 0)
+
+    def test_is_valid(self):
+        lat = Lattice.from_parameters(4.0, 4.0, 4.0)
+        good = Structure(lat, [Site(11, np.array([0.0, 0.0, 0.0])),
+                               Site(17, np.array([0.5, 0.5, 0.5]))])
+        assert good.is_valid()
+        bad = Structure(lat, [Site(11, np.array([0.0, 0.0, 0.0])),
+                              Site(17, np.array([0.01, 0.0, 0.0]))])
+        assert not bad.is_valid()
+
+    def test_formulas(self):
+        s = parse_cif(PEROVSKITE_CIF)
+        assert s.reduced_formula == "O3SrTi"
+        assert s.anonymized_formula() == "ABC3"
+
+    def test_from_cartesian(self):
+        s = Structure.from_cartesian(
+            (4.0, 4.0, 4.0), [11, 17], [[0, 0, 0], [2, 2, 2]]
+        )
+        assert np.allclose(s.frac_coords, [[0, 0, 0], [0.5, 0.5, 0.5]])
+
+
+class TestNeighbors:
+    def test_simple_cubic(self):
+        # One atom in a cubic cell: 6 nearest neighbors at distance a
+        lat = Lattice.from_parameters(3.0, 3.0, 3.0)
+        s = Structure(lat, [Site(11, np.array([0.0, 0.0, 0.0]))])
+        nbrs = neighbor_list(s, radius=3.5)
+        assert len(nbrs) == 1
+        dists = [d for d, _ in nbrs[0]]
+        assert len(dists) == 6
+        assert np.allclose(dists, 3.0)
+
+    def test_rocksalt_counts(self):
+        # NaCl rocksalt: each Na has 6 Cl at a/2
+        a = 5.64
+        lat = Lattice.from_parameters(a, a, a)
+        sites = []
+        na_fracs = [(0, 0, 0), (0.5, 0.5, 0), (0.5, 0, 0.5), (0, 0.5, 0.5)]
+        cl_fracs = [(0.5, 0, 0), (0, 0.5, 0), (0, 0, 0.5), (0.5, 0.5, 0.5)]
+        for f in na_fracs:
+            sites.append(Site(11, np.array(f, dtype=float)))
+        for f in cl_fracs:
+            sites.append(Site(17, np.array(f, dtype=float)))
+        s = Structure(lat, sites)
+        nbrs = neighbor_list(s, radius=a / 2 + 0.1)
+        for site_nbrs in nbrs:
+            assert len(site_nbrs) == 6
+            assert np.allclose([d for d, _ in site_nbrs], a / 2, atol=1e-6)
+
+    def test_sorted_by_distance(self):
+        lat = Lattice.from_parameters(4.0, 5.0, 6.0)
+        s = Structure(lat, [Site(11, np.array([0.0, 0.0, 0.0])),
+                            Site(17, np.array([0.5, 0.5, 0.5]))])
+        nbrs = neighbor_list(s, radius=8.0)
+        for site_nbrs in nbrs:
+            d = [x[0] for x in site_nbrs]
+            assert d == sorted(d)
