@@ -7,12 +7,21 @@ run before jax is imported anywhere in the test process.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force, not setdefault: the environment presets JAX_PLATFORMS to the real
+# TPU backend (a sitecustomize hook registers it at interpreter boot), and
+# unit tests must not dispatch per-op over the device tunnel.  The env var
+# alone is not enough — the boot hook wins — so also override the live jax
+# config before any backend is touched.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest
