@@ -1,0 +1,150 @@
+"""Packed on-disk dataset store and device-prefetching batch iterators.
+
+The reference kept one .npy file per sample per field and loaded them one by
+one inside Keras Sequence generators (vae/data.py:93-100, unet/data.py:62-89)
+on 4 worker threads.  Here a dataset is a directory of *packed* arrays —
+one memory-mapped .npy per field holding all samples — plus an ids.json
+manifest.  Batch assembly is a single fancy-index per field, and a
+double-buffered prefetcher keeps the next batch in flight to the device
+while the current one computes.
+
+Fields:
+    density   (N, d, d, d)    float32   Gaussian electron density
+    coords    (N, d, d, d, 3) float32   absolute coordinate grid
+    species   (N, d, d, d)    uint8     atomic-number labels (0=background)
+    lattice   (N, 6)          float32   a, b, c, alpha, beta, gamma
+    target    (N,)            float32   conditioning property value
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import queue
+import threading
+from typing import Dict, Iterator, List, Optional, Sequence
+
+import jax
+import numpy as np
+
+FIELDS = ("density", "coords", "species", "lattice", "target")
+
+
+class GridDataset:
+    """A packed voxel-grid dataset on disk."""
+
+    def __init__(self, path: str, mmap: bool = True):
+        self.path = path
+        with open(os.path.join(path, "ids.json")) as f:
+            self.ids: List[str] = json.load(f)
+        mode = "r" if mmap else None
+        self.arrays: Dict[str, np.ndarray] = {}
+        for field in FIELDS:
+            fp = os.path.join(path, f"{field}.npy")
+            if os.path.exists(fp):
+                self.arrays[field] = np.load(fp, mmap_mode=mode)
+        self.index = {sid: i for i, sid in enumerate(self.ids)}
+
+    def __len__(self) -> int:
+        return len(self.ids)
+
+    @property
+    def d(self) -> int:
+        return self.arrays["density"].shape[1]
+
+    def rows(self, ids: Sequence[str]) -> np.ndarray:
+        return np.array([self.index[i] for i in ids], dtype=np.int64)
+
+    def gather(self, ids: Sequence[str], fields: Sequence[str]) -> Dict[str, np.ndarray]:
+        rows = self.rows(ids)
+        return {f: np.asarray(self.arrays[f][rows]) for f in fields}
+
+    @staticmethod
+    def write(
+        path: str,
+        ids: Sequence[str],
+        arrays: Dict[str, np.ndarray],
+    ) -> "GridDataset":
+        os.makedirs(path, exist_ok=True)
+        n = len(ids)
+        for field, arr in arrays.items():
+            if len(arr) != n:
+                raise ValueError(f"{field}: {len(arr)} rows != {n} ids")
+            np.save(os.path.join(path, f"{field}.npy"), np.asarray(arr))
+        with open(os.path.join(path, "ids.json"), "w") as f:
+            json.dump(list(ids), f)
+        return GridDataset(path)
+
+
+class BatchIterator:
+    """Epoch iterator yielding dict batches of host numpy arrays.
+
+    Matches the reference generators' semantics: remainder batches are
+    dropped (vae/data.py:45), optional shuffling re-draws every epoch
+    (vae/data.py:60-64).  Rotation grouping is upstream in data_split.
+    """
+
+    def __init__(
+        self,
+        dataset: GridDataset,
+        ids: Sequence[str],
+        batch_size: int,
+        fields: Sequence[str] = ("density", "coords", "species"),
+        shuffle: bool = False,
+        seed: int = 0,
+        extra: Optional[Dict[str, np.ndarray]] = None,
+    ):
+        self.dataset = dataset
+        self.ids = list(ids)
+        self.batch_size = batch_size
+        self.fields = tuple(fields)
+        self.shuffle = shuffle
+        self.rng = np.random.default_rng(seed)
+        self.rows = dataset.rows(self.ids)
+        # extra: per-sample arrays aligned with `ids` (e.g. one-hot conds)
+        self.extra = extra or {}
+        for k, v in self.extra.items():
+            if len(v) != len(self.ids):
+                raise ValueError(f"extra[{k}] has {len(v)} rows, want {len(self.ids)}")
+
+    def __len__(self) -> int:
+        return len(self.ids) // self.batch_size
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        order = np.arange(len(self.ids))
+        if self.shuffle:
+            self.rng.shuffle(order)
+        for b in range(len(self)):
+            sel = order[b * self.batch_size : (b + 1) * self.batch_size]
+            rows = self.rows[sel]
+            batch = {f: np.asarray(self.dataset.arrays[f][rows]) for f in self.fields}
+            for k, v in self.extra.items():
+                batch[k] = np.asarray(v[sel])
+            yield batch
+
+
+def prefetch_to_device(iterator, size: int = 2, devices=None):
+    """Double-buffered host->device prefetch.
+
+    Stages `size` batches ahead on a background thread so jax.device_put
+    (and the H2D DMA behind it) overlaps with the training step — the
+    TPU-native replacement for Keras fit_generator's worker threads
+    (unet/unet.py:370-377).
+    """
+    q: "queue.Queue" = queue.Queue(maxsize=size)
+    sentinel = object()
+
+    def producer():
+        try:
+            for batch in iterator:
+                q.put(jax.device_put(batch, devices))
+        finally:
+            q.put(sentinel)
+
+    t = threading.Thread(target=producer, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is sentinel:
+            break
+        yield item
