@@ -1,0 +1,100 @@
+"""Shared building blocks for the 3D conv models.
+
+Keras-parity notes (SURVEY.md section 7 hard parts):
+- BatchNormalization defaults differ between Keras and Flax; all BN here
+  uses momentum=0.99, epsilon=1e-3 (the Keras defaults the reference
+  trained with, unet/unet.py:278 etc.).
+- The reference's two conv block orders are both represented:
+  U-Net blocks are Conv -> ReLU -> BN (unet/unet.py:276-278), VAE blocks
+  are Conv -> BN -> LeakyReLU (vae/lattice_vae.py:173-175).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+Dtype = Any
+
+KERAS_BN_MOMENTUM = 0.99
+KERAS_BN_EPSILON = 1e-3
+
+
+class ConvBlock(nn.Module):
+    """Conv3D(3x3x3, same) + BatchNorm + activation in a configurable order.
+
+    order="relu_bn": conv -> relu -> bn   (U-Net, unet/unet.py:276-278)
+    order="bn_act":  conv -> bn -> act    (VAE,   vae/lattice_vae.py:173-175)
+    """
+
+    features: int
+    kernel_size: Tuple[int, int, int] = (3, 3, 3)
+    order: str = "relu_bn"
+    act: Callable = nn.relu
+    dtype: Dtype = jnp.bfloat16
+    bn_momentum: float = KERAS_BN_MOMENTUM
+    bn_epsilon: float = KERAS_BN_EPSILON
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = nn.Conv(
+            self.features,
+            self.kernel_size,
+            padding="SAME",
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+        )(x)
+        bn = nn.BatchNorm(
+            use_running_average=not train,
+            momentum=self.bn_momentum,
+            epsilon=self.bn_epsilon,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+        )
+        if self.order == "relu_bn":
+            x = self.act(x)
+            x = bn(x)
+        elif self.order == "bn_act":
+            x = bn(x)
+            x = self.act(x)
+        else:
+            raise ValueError(f"unknown order {self.order!r}")
+        return x
+
+
+def max_pool_3d(x, window: int = 2):
+    """2x2x2 max pool, stride 2 (Keras MaxPool3D(strides=(2,2,2)))."""
+    w = (1, window, window, window, 1)
+    return nn.max_pool(x, window_shape=w[1:-1], strides=w[1:-1])
+
+
+def upsample_3d(x, factor: int = 2):
+    """Nearest-neighbor 2x upsampling (Keras UpSampling3D).
+
+    Implemented as reshape+broadcast — XLA lowers this to a cheap copy with
+    no gather, unlike jnp.repeat chains.
+    """
+    b, d, h, w, c = x.shape
+    x = x[:, :, None, :, None, :, None, :]
+    x = jnp.broadcast_to(x, (b, d, factor, h, factor, w, factor, c))
+    return x.reshape(b, d * factor, h * factor, w * factor, c)
+
+
+def broadcast_condition(cond, spatial_shape: Sequence[int], repeat: int = 1):
+    """Tile a (B, C) condition over the spatial grid -> (B, *spatial, C*repeat).
+
+    The reference's K.tile call (vae/lattice_vae.py:167-168) produced a 4x
+    channel-repeated condition block due to numpy-style multiples padding;
+    ``repeat`` reproduces that width when parity with trained reference
+    weights is needed (config.VAEConfig.cond_repeat).
+    """
+    b, c = cond.shape
+    if repeat != 1:
+        cond = jnp.tile(cond, (1, repeat))
+        c = c * repeat
+    target = (b,) + tuple(spatial_shape) + (c,)
+    return jnp.broadcast_to(
+        cond.reshape((b,) + (1,) * len(spatial_shape) + (c,)), target
+    )

@@ -1,0 +1,130 @@
+"""3D U-Net species segmenter.
+
+Capability parity with the reference AtomUnet (unet/unet.py:272-355): a
+3-level encoder-decoder over (B, d, d, d, 4) grids with skip concats and two
+1x1x1 heads — `soft` (num_classes-way segmentation) and `sig` (binary
+occupancy).  Channel plan (conv index in graph order):
+
+    enc L1: c1=32,  c2=64     -> pool
+    enc L2: c3=64,  c4=128    -> pool
+    enc L3: c5=128, c6=256    -> pool
+    bottom: c7=512, c8=512    -> up, concat c6
+    dec L3: c9=512, c10=256   -> up, concat c4
+    dec L2: c11=256, c12=128  -> up, concat c2
+    dec L1: c13=128, c14=128  -> heads
+
+TPU-first differences from the reference:
+- returns *logits* for both heads (softmax/sigmoid fold into the fused
+  loss; inference applies them explicitly), keeping the hot path in
+  bfloat16 without precision loss in the loss;
+- post-ReLU activations are ``sow``-ed per conv index so the VAE's
+  deep-feature-consistent loss can tap them (reference built a Keras
+  sub-Model over layers re_lu_2/4/6/8 = post-ReLU of convs 3/5/7/9,
+  vae/lattice_vae.py:100,257-263) without a second network.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from icsg3d_tpu.config import UNetConfig
+from icsg3d_tpu.models.layers import max_pool_3d, upsample_3d
+
+
+class UNet3D(nn.Module):
+    cfg: UNetConfig = UNetConfig()
+
+    @nn.compact
+    def __call__(self, x, train: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """x: (B, D, H, W, C) density+coordinate grid.
+
+        Returns (soft_logits (B,D,H,W,num_classes), sig_logits (B,D,H,W,1)),
+        both float32.
+        """
+        cfg = self.cfg
+        x = x.astype(jnp.dtype(cfg.dtype))
+
+        idx = 0
+        skips = []
+
+        # The perceptual taps need post-ReLU (pre-BN) tensors, so the
+        # conv/relu/bn sequence is inlined here rather than using ConvBlock.
+        def conv_relu_bn(h, features):
+            nonlocal idx
+            idx += 1
+            h = nn.Conv(
+                features,
+                (3, 3, 3),
+                padding="SAME",
+                dtype=jnp.dtype(cfg.dtype),
+                param_dtype=jnp.float32,
+                name=f"conv{idx}",
+            )(h)
+            h = nn.relu(h)
+            self.sow("intermediates", f"relu{idx}", h)
+            h = nn.BatchNorm(
+                use_running_average=not train,
+                momentum=cfg.bn_momentum,
+                epsilon=cfg.bn_epsilon,
+                dtype=jnp.dtype(cfg.dtype),
+                param_dtype=jnp.float32,
+                name=f"bn{idx}",
+            )(h)
+            return h
+
+        # Encoder
+        for f1, f2 in cfg.enc_filters:
+            x = conv_relu_bn(x, f1)
+            x = conv_relu_bn(x, f2)
+            skips.append(x)
+            x = max_pool_3d(x)
+
+        # Bottleneck
+        x = conv_relu_bn(x, cfg.bottom_filters[0])
+        x = conv_relu_bn(x, cfg.bottom_filters[1])
+
+        # Decoder
+        for (f1, f2), skip in zip(cfg.dec_filters, reversed(skips)):
+            x = upsample_3d(x)
+            x = jnp.concatenate([skip, x.astype(skip.dtype)], axis=-1)
+            x = conv_relu_bn(x, f1)
+            x = conv_relu_bn(x, f2)
+
+        soft = nn.Conv(
+            cfg.num_classes,
+            (1, 1, 1),
+            padding="SAME",
+            dtype=jnp.float32,
+            param_dtype=jnp.float32,
+            name="head_soft",
+        )(x.astype(jnp.float32))
+        sig = nn.Conv(
+            1,
+            (1, 1, 1),
+            padding="SAME",
+            dtype=jnp.float32,
+            param_dtype=jnp.float32,
+            name="head_sig",
+        )(x.astype(jnp.float32))
+        return soft, sig
+
+
+def apply_unet(model: UNet3D, variables, x, train: bool = False):
+    """Forward pass returning (soft_logits, sig_logits) without intermediates."""
+    return model.apply(variables, x, train=train, mutable=False)
+
+
+def unet_features(model: UNet3D, variables, x, taps: Sequence[int]):
+    """Post-ReLU activations of the given conv indices (1-based).
+
+    The DFC-VAE perceptual taps default to convs (3, 5, 7, 9)
+    (config.VAEConfig.perceptual_taps).
+    """
+    _, state = model.apply(
+        variables, x, train=False, mutable=["intermediates"]
+    )
+    inter = state["intermediates"]
+    return [inter[f"relu{i}"][0] for i in taps]

@@ -1,0 +1,171 @@
+"""Conditional deep-feature-consistent VAE over voxel grids.
+
+Capability parity with LatticeDFCVAE (vae/lattice_vae.py:69-270):
+
+- Encoder: condition one-hot broadcast over the grid and concatenated as
+  channels (vae/lattice_vae.py:166-169); 4 blocks of
+  Conv(3^3) -> BN -> LeakyReLU(0.3) -> MaxPool(2) with filters
+  (16, 32, 64, 128); Conv(4) -> LeakyReLU; Flatten -> Dense(latent, relu);
+  Dense heads for (z_mean, z_log_var); reparameterization sample.
+- Decoder: Dense(latent) over concat(z, cond) -> reshape (4,4,4,4); 4 blocks
+  Conv -> BN -> LeakyReLU with reversed filters, 2x nearest upsampling
+  between (vae/lattice_vae.py:211-217); final Conv(channels) -> BN -> ReLU
+  (the BN+ReLU tail clamps outputs >= 0, vae/lattice_vae.py:225-226).
+- Loss (ops/losses.py): MSE + alpha*DFC + beta*KLD with the DFC features
+  taken from the U-Net's post-ReLU activations of convs (3,5,7,9)
+  (vae/lattice_vae.py:241-270).
+
+JAX-first deltas: the reparameterization RNG is an explicit key; the KLD is
+a pure function of the returned (z_mean, z_log_var) rather than a graph
+side-channel; grid geometry comes from GridSpec instead of hardcoded 32s.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from icsg3d_tpu.config import VAEConfig
+from icsg3d_tpu.models.layers import broadcast_condition, max_pool_3d, upsample_3d
+
+
+def _leaky(slope):
+    return lambda x: nn.leaky_relu(x, negative_slope=slope)
+
+
+class Encoder(nn.Module):
+    cfg: VAEConfig = VAEConfig()
+
+    @nn.compact
+    def __call__(self, x, cond, train: bool = False):
+        """x: (B, d, d, d, C); cond: (B, cond_bins) one-hot.
+
+        Returns (z_mean, z_log_var), both (B, latent_dim) float32.
+        """
+        cfg = self.cfg
+        dtype = jnp.dtype(cfg.dtype)
+        x = x.astype(dtype)
+        cond_block = broadcast_condition(
+            cond.astype(dtype), x.shape[1:-1], repeat=cfg.cond_repeat
+        )
+        x = jnp.concatenate([x, cond_block], axis=-1)
+
+        for f in cfg.filters:
+            x = nn.Conv(
+                f, cfg.kernel_size, padding="SAME", dtype=dtype,
+                param_dtype=jnp.float32,
+            )(x)
+            x = nn.BatchNorm(
+                use_running_average=not train,
+                momentum=cfg.bn_momentum,
+                epsilon=cfg.bn_epsilon,
+                dtype=dtype,
+                param_dtype=jnp.float32,
+            )(x)
+            x = nn.leaky_relu(x, negative_slope=cfg.leaky_slope)
+            x = max_pool_3d(x)
+
+        x = nn.Conv(
+            4, cfg.kernel_size, padding="SAME", dtype=dtype,
+            param_dtype=jnp.float32,
+        )(x)
+        x = nn.leaky_relu(x, negative_slope=cfg.leaky_slope)
+
+        x = x.reshape(x.shape[0], -1)
+        x = nn.relu(nn.Dense(cfg.latent_dim, dtype=dtype, param_dtype=jnp.float32)(x))
+        z_mean = nn.Dense(
+            cfg.latent_dim, dtype=jnp.float32, param_dtype=jnp.float32,
+            name="z_mean",
+        )(x.astype(jnp.float32))
+        z_log_var = nn.Dense(
+            cfg.latent_dim, dtype=jnp.float32, param_dtype=jnp.float32,
+            name="z_log_var",
+        )(x.astype(jnp.float32))
+        return z_mean, z_log_var
+
+
+class Decoder(nn.Module):
+    cfg: VAEConfig = VAEConfig()
+
+    @nn.compact
+    def __call__(self, z, cond, train: bool = False):
+        """z: (B, latent_dim); cond: (B, cond_bins).  Returns (B,d,d,d,C)."""
+        cfg = self.cfg
+        dtype = jnp.dtype(cfg.dtype)
+        # The decoder applies len(filters)-1 2x upsamplings, so the seed grid
+        # is d / 2^(len-1) per axis; for the reference defaults (d=32, four
+        # filter blocks, latent 256) this reproduces the Dense(256) ->
+        # reshape (4,4,4,4) start (vae/lattice_vae.py:208-209).
+        start = cfg.grid.d // 2 ** (len(cfg.filters) - 1)
+        c0 = max(cfg.latent_dim // start**3, 1)
+        x = jnp.concatenate([z, cond], axis=-1).astype(dtype)
+        x = nn.Dense(
+            start**3 * c0, dtype=dtype, param_dtype=jnp.float32
+        )(x)
+        x = x.reshape(x.shape[0], start, start, start, c0)
+
+        for i, f in enumerate(reversed(cfg.filters)):
+            x = nn.Conv(
+                f, cfg.kernel_size, padding="SAME", dtype=dtype,
+                param_dtype=jnp.float32,
+            )(x)
+            x = nn.BatchNorm(
+                use_running_average=not train,
+                momentum=cfg.bn_momentum,
+                epsilon=cfg.bn_epsilon,
+                dtype=dtype,
+                param_dtype=jnp.float32,
+            )(x)
+            x = nn.leaky_relu(x, negative_slope=cfg.leaky_slope)
+            if i < len(cfg.filters) - 1:
+                x = upsample_3d(x)
+
+        channels = cfg.grid.channels
+        x = nn.Conv(
+            channels, cfg.kernel_size, padding="SAME", dtype=jnp.float32,
+            param_dtype=jnp.float32, name="decoder_output",
+        )(x.astype(jnp.float32))
+        x = nn.BatchNorm(
+            use_running_average=not train,
+            momentum=cfg.bn_momentum,
+            epsilon=cfg.bn_epsilon,
+            dtype=jnp.float32,
+            param_dtype=jnp.float32,
+            name="output_bn",
+        )(x)
+        return nn.relu(x)
+
+
+class ConditionalDFCVAE(nn.Module):
+    """Encoder + reparameterized sample + decoder in one module."""
+
+    cfg: VAEConfig = VAEConfig()
+
+    def setup(self):
+        self.encoder = Encoder(self.cfg)
+        self.decoder = Decoder(self.cfg)
+
+    def __call__(self, x, cond, rng, train: bool = False):
+        """Full VAE pass.
+
+        Returns (reconstruction, z_mean, z_log_var, z).
+        """
+        z_mean, z_log_var = self.encoder(x, cond, train=train)
+        z = reparameterize(rng, z_mean, z_log_var)
+        recon = self.decoder(z, cond, train=train)
+        return recon, z_mean, z_log_var, z
+
+    def encode(self, x, cond):
+        return self.encoder(x, cond, train=False)
+
+    def decode(self, z, cond):
+        return self.decoder(z, cond, train=False)
+
+
+def reparameterize(rng, z_mean, z_log_var):
+    """z = mu + exp(log_var / 2) * eps (vae/lattice_vae.py:53-66)."""
+    eps = jax.random.normal(rng, z_mean.shape, dtype=z_mean.dtype)
+    return z_mean + jnp.exp(0.5 * z_log_var) * eps
