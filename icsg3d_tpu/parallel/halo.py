@@ -1,0 +1,88 @@
+"""Spatial partitioning of 3D convolutions with halo exchange.
+
+For 64^3+ grids (BASELINE config 5) the activations of the U-Net/VAE no
+longer fit comfortably replicated; the TPU-native answer is to shard the
+depth axis of the (B, D, H, W, C) grids over the ``spatial`` mesh axis and
+exchange 1-voxel halos between neighbor devices before each 3^3 conv —
+a collective-permute ring over ICI, the conv-net analog of ring attention
+(SURVEY.md section 2.4).
+
+``halo_exchange`` runs inside shard_map: each device sends its first/last
+depth slices to its neighbors and receives theirs, then a VALID conv over
+the halo-padded slab equals the global SAME conv restricted to the shard.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from icsg3d_tpu.parallel import mesh as mesh_lib
+
+
+def halo_exchange(x, axis_name: str, halo: int = 1, axis: int = 1):
+    """Pad a depth-sharded slab with neighbor halos (zeros at the ends).
+
+    x: per-device slab, e.g. (B, D_shard, H, W, C).  Returns the slab
+    extended by ``halo`` on both sides of ``axis``.  Matches SAME/zero
+    padding semantics at the global boundary.
+    """
+    n = jax.lax.psum(1, axis_name)
+    idx = jax.lax.axis_index(axis_name)
+
+    lo = jax.lax.slice_in_dim(x, 0, halo, axis=axis)
+    hi = jax.lax.slice_in_dim(x, x.shape[axis] - halo, x.shape[axis], axis=axis)
+
+    # Send my low slice to the left neighbor (it becomes their high halo)
+    # and my high slice to the right neighbor (their low halo).
+    right = [(i, (i + 1) % n) for i in range(n)]
+    left = [(i, (i - 1) % n) for i in range(n)]
+    from_left = jax.lax.ppermute(hi, axis_name, perm=right)   # left nbr's hi
+    from_right = jax.lax.ppermute(lo, axis_name, perm=left)   # right nbr's lo
+
+    zeros = jnp.zeros_like(lo)
+    from_left = jnp.where(idx == 0, zeros, from_left)
+    from_right = jnp.where(idx == n - 1, zeros, from_right)
+    return jnp.concatenate([from_left, x, from_right], axis=axis)
+
+
+def _conv3d_same(x, kernel):
+    """Plain NDHWC SAME conv (the unsharded oracle)."""
+    return jax.lax.conv_general_dilated(
+        x, kernel, window_strides=(1, 1, 1), padding="SAME",
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+    )
+
+
+def spatial_shard_conv3d(x, kernel, mesh: Mesh):
+    """A 3^3 SAME conv with the depth axis sharded over the spatial mesh axis.
+
+    Demonstrates (and tests) the halo-exchange contract the spatially-sharded
+    models build on: shard D over ``spatial``, halo-exchange, VALID conv.
+    """
+    kd = kernel.shape[0]
+    halo = (kd - 1) // 2
+
+    def shard_fn(xs, ks):
+        padded = halo_exchange(xs, mesh_lib.SPATIAL_AXIS, halo=halo, axis=1)
+        return jax.lax.conv_general_dilated(
+            padded, ks, window_strides=(1, 1, 1),
+            padding=((0, 0), (halo, halo), (halo, halo)),
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+        )
+
+    from jax import shard_map
+
+    fn = shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(
+            P(mesh_lib.DATA_AXIS, mesh_lib.SPATIAL_AXIS),
+            P(),
+        ),
+        out_specs=P(mesh_lib.DATA_AXIS, mesh_lib.SPATIAL_AXIS),
+    )
+    return fn(x, kernel)

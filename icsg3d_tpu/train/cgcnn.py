@@ -1,0 +1,102 @@
+"""CGCNN training: jitted steps + driver loop.
+
+Reference flow (train_cgcnn.py): MSE loss, MAE metric, Adam(1e-3),
+best-val-MAE checkpointing.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Dict, Iterable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from icsg3d_tpu.config import CGCNNConfig, TrainConfig
+from icsg3d_tpu.models.cgcnn import CGCNN
+from icsg3d_tpu.ops import losses
+from icsg3d_tpu.parallel import make_mesh, shard_batch
+from icsg3d_tpu.train.checkpoints import CheckpointManager
+from icsg3d_tpu.train.state import ModelState
+
+
+def create_cgcnn_state(
+    cfg: CGCNNConfig, train_cfg: TrainConfig, rng
+) -> Tuple[CGCNN, ModelState]:
+    model = CGCNN(cfg)
+    B, N, M = 1, cfg.max_atoms, cfg.max_neighbors
+    variables = model.init(
+        rng,
+        jnp.zeros((B, N, cfg.atom_input_dim)),
+        jnp.full((B, N, M), cfg.radius),
+        jnp.zeros((B, N, M), jnp.int32),
+        jnp.ones((B, N)),
+    )
+    tx = optax.adam(train_cfg.learning_rate)
+    return model, ModelState.create(model.apply, variables, tx)
+
+
+def _cgcnn_losses(model, params, batch):
+    preds = model.apply(
+        {"params": params},
+        batch["atom_fea"], batch["nbr_dist"], batch["nbr_idx"],
+        batch["atom_mask"],
+    )
+    loss = losses.mse_loss(preds, batch["target"])
+    return loss, {"loss": loss, "mae": losses.mae(preds, batch["target"])}
+
+
+def make_cgcnn_steps(model: CGCNN):
+    def train_step(state: ModelState, batch):
+        def loss_fn(params):
+            return _cgcnn_losses(model, params, batch)
+
+        grads, mets = jax.grad(loss_fn, has_aux=True)(state.params)
+        return state.apply_gradients(grads), mets
+
+    def eval_step(state: ModelState, batch):
+        _, mets = _cgcnn_losses(model, state.params, batch)
+        return mets
+
+    return jax.jit(train_step, donate_argnums=(0,)), jax.jit(eval_step)
+
+
+def _mean_metrics(history):
+    return {k: float(np.mean([h[k] for h in history])) for k in history[0]}
+
+
+def train_cgcnn(
+    model: CGCNN,
+    state: ModelState,
+    train_batches: Iterable,
+    val_batches: Iterable,
+    epochs: int,
+    checkpoint_dir: Optional[str] = None,
+    mesh=None,
+    log_fn=print,
+):
+    mesh = mesh or make_mesh()
+    train_step, eval_step = make_cgcnn_steps(model)
+    ckpt = CheckpointManager(checkpoint_dir) if checkpoint_dir else None
+    history = []
+    for epoch in range(epochs):
+        t0 = time.time()
+        train_mets = []
+        for b in train_batches():
+            state, m = train_step(state, shard_batch(b, mesh))
+            train_mets.append(m)
+        val_mets = [eval_step(state, shard_batch(b, mesh)) for b in val_batches()]
+        tm = _mean_metrics([jax.device_get(m) for m in train_mets])
+        vm = _mean_metrics([jax.device_get(m) for m in val_mets])
+        history.append({"train": tm, "val": vm, "time": time.time() - t0})
+        log_fn(
+            f"epoch {epoch}: time {history[-1]['time']:.2f}s "
+            f"train mse {tm['loss']:.4f} mae {tm['mae']:.4f} | "
+            f"val mae {vm['mae']:.4f}"
+        )
+        if ckpt:
+            ckpt.save_latest(state)
+            ckpt.save_if_best(state, vm["mae"])
+    return state, history

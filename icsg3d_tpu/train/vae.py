@@ -1,0 +1,187 @@
+"""Conditional DFC-VAE training: jitted DP steps + driver loop.
+
+Reference flow (train_vae.py + vae/lattice_vae.py:272-342): custom epoch
+loop, loss = MSE + alpha*perceptual + beta*KLD where the perceptual term
+compares U-Net intermediate ReLU activations of input vs reconstruction
+(vae/lattice_vae.py:241-270).  The trained U-Net's variables ride along as
+a frozen constant of the jitted step — the whole VAE fwd + two perceptual
+U-Net forwards + backward is one XLA program.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Dict, Iterable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from icsg3d_tpu.config import TrainConfig, VAEConfig
+from icsg3d_tpu.models.unet import UNet3D
+from icsg3d_tpu.models.vae import ConditionalDFCVAE
+from icsg3d_tpu.ops import losses
+from icsg3d_tpu.parallel import make_mesh, shard_batch
+from icsg3d_tpu.train.checkpoints import CheckpointManager
+from icsg3d_tpu.train.state import ModelState
+
+
+def create_vae_state(
+    cfg: VAEConfig, train_cfg: TrainConfig, rng
+) -> Tuple[ConditionalDFCVAE, ModelState]:
+    model = ConditionalDFCVAE(cfg)
+    d = cfg.grid.d
+    x = jnp.zeros((1, d, d, d, cfg.grid.channels), jnp.float32)
+    cond = jnp.zeros((1, cfg.cond_bins), jnp.float32)
+    init_rng, sample_rng = jax.random.split(jax.random.fold_in(rng, 0))
+    variables = model.init(init_rng, x, cond, sample_rng, train=False)
+    tx = optax.adam(train_cfg.learning_rate)
+    return model, ModelState.create(model.apply, variables, tx)
+
+
+def _perceptual_features(unet: UNet3D, unet_variables, x, taps):
+    """Post-ReLU activations of the given conv indices, inside jit."""
+    _, state = unet.apply(
+        unet_variables, x, train=False, mutable=["intermediates"]
+    )
+    inter = state["intermediates"]
+    return [inter[f"relu{i}"][0] for i in taps]
+
+
+def _vae_losses(
+    model, unet, unet_variables, params, batch_stats, batch, rng, train: bool
+):
+    cfg = model.cfg
+    variables = {"params": params, "batch_stats": batch_stats}
+    if train:
+        (recon, z_mean, z_log_var, _), new_state = model.apply(
+            variables, batch["x"], batch["cond"], rng, train=True,
+            mutable=["batch_stats"],
+        )
+        new_bs = new_state["batch_stats"]
+    else:
+        recon, z_mean, z_log_var, _ = model.apply(
+            variables, batch["x"], batch["cond"], rng, train=False
+        )
+        new_bs = batch_stats
+
+    mse = losses.mse_flat(batch["x"], recon)
+    kld = losses.kld_gaussian(z_mean, z_log_var)
+    if unet is not None:
+        f_true = _perceptual_features(
+            unet, unet_variables, batch["x"], cfg.perceptual_taps
+        )
+        f_pred = _perceptual_features(
+            unet, unet_variables, recon, cfg.perceptual_taps
+        )
+        pm = losses.perceptual_feature_loss(
+            f_true, f_pred, cfg.perceptual_tap_weights
+        )
+    else:
+        pm = jnp.zeros_like(mse)
+    total = jnp.mean(mse + cfg.alpha * pm + cfg.beta * kld)
+    mets = {
+        "loss": total,
+        "mse": jnp.mean(mse),
+        "perceptual": jnp.mean(pm),
+        "kld": jnp.mean(kld),
+    }
+    return total, (mets, new_bs)
+
+
+def make_vae_steps(
+    model: ConditionalDFCVAE,
+    unet: Optional[UNet3D] = None,
+    unet_variables=None,
+):
+    """Build (train_step, eval_step).
+
+    unet=None trains a plain (non-DFC) conditional VAE — useful before a
+    U-Net artifact exists (the reference hard-required one,
+    vae/lattice_vae.py:120).
+    """
+
+    def train_step(state: ModelState, batch, rng):
+        def loss_fn(params):
+            return _vae_losses(
+                model, unet, unet_variables, params, state.batch_stats,
+                batch, rng, train=True,
+            )
+
+        grads, (mets, new_bs) = jax.grad(loss_fn, has_aux=True)(state.params)
+        return state.apply_gradients(grads, new_batch_stats=new_bs), mets
+
+    def eval_step(state: ModelState, batch, rng):
+        _, (mets, _) = _vae_losses(
+            model, unet, unet_variables, state.params, state.batch_stats,
+            batch, rng, train=False,
+        )
+        return mets
+
+    return (
+        jax.jit(train_step, donate_argnums=(0,)),
+        jax.jit(eval_step),
+    )
+
+
+def prepare_vae_batch(batch: Dict[str, np.ndarray], cond: np.ndarray):
+    """Raw store fields + per-sample one-hot conds -> model inputs.
+
+    x = density + coordinate channels (vae/data.py:93-100); cond is the
+    quantile-bin one-hot (vae/data.py:88-91), carried by BatchIterator's
+    ``extra`` mechanism.
+    """
+    M = batch["density"][..., None].astype(np.float32)
+    x = np.concatenate([M, batch["coords"].astype(np.float32)], axis=-1)
+    return {"x": x, "cond": cond.astype(np.float32)}
+
+
+def _mean_metrics(history):
+    return {k: float(np.mean([h[k] for h in history])) for k in history[0]}
+
+
+def train_vae(
+    model: ConditionalDFCVAE,
+    state: ModelState,
+    train_batches: Iterable,
+    val_batches: Iterable,
+    epochs: int,
+    unet: Optional[UNet3D] = None,
+    unet_variables=None,
+    checkpoint_dir: Optional[str] = None,
+    mesh=None,
+    seed: int = 0,
+    log_fn=print,
+):
+    """Epoch loop mirroring LatticeDFCVAE.train (vae/lattice_vae.py:288-342):
+    per-epoch train/val metric means, wall-clock print, best-val save."""
+    mesh = mesh or make_mesh()
+    train_step, eval_step = make_vae_steps(model, unet, unet_variables)
+    ckpt = CheckpointManager(checkpoint_dir) if checkpoint_dir else None
+    key = jax.random.key(seed)
+    history = []
+    for epoch in range(epochs):
+        t0 = time.time()
+        train_mets = []
+        for b in train_batches():
+            key, sub = jax.random.split(key)
+            state, m = train_step(state, shard_batch(b, mesh), sub)
+            train_mets.append(m)
+        val_mets = []
+        for b in val_batches():
+            key, sub = jax.random.split(key)
+            val_mets.append(eval_step(state, shard_batch(b, mesh), sub))
+        tm = _mean_metrics([jax.device_get(m) for m in train_mets])
+        vm = _mean_metrics([jax.device_get(m) for m in val_mets])
+        history.append({"train": tm, "val": vm, "time": time.time() - t0})
+        log_fn(
+            f"epoch {epoch}: time {history[-1]['time']:.2f}s "
+            f"train loss {tm['loss']:.4f} mse {tm['mse']:.4f} "
+            f"pm {tm['perceptual']:.4f} kld {tm['kld']:.2f} | "
+            f"val loss {vm['loss']:.4f}"
+        )
+        if ckpt:
+            ckpt.save_latest(state)
+            ckpt.save_if_best(state, vm["loss"])
+    return state, history

@@ -1,0 +1,189 @@
+"""Training-layer tests: steps reduce loss, checkpoints round-trip, drivers
+run end-to-end on synthetic data over the virtual device mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from icsg3d_tpu.config import (
+    CGCNNConfig,
+    GridSpec,
+    TrainConfig,
+    UNetConfig,
+    VAEConfig,
+    VoxelizerConfig,
+)
+from icsg3d_tpu.data import BatchIterator
+from icsg3d_tpu.data.binning import bin_and_encode
+from icsg3d_tpu.data.synthetic import build_dataset
+from icsg3d_tpu.parallel import make_mesh, shard_batch
+from icsg3d_tpu.train import (
+    CheckpointManager,
+    create_cgcnn_state,
+    create_unet_state,
+    create_vae_state,
+    make_cgcnn_steps,
+    make_unet_steps,
+    make_vae_steps,
+    train_unet,
+    train_vae,
+)
+from icsg3d_tpu.train.unet import prepare_unet_batch
+from icsg3d_tpu.train.vae import prepare_vae_batch
+
+GRID = GridSpec(d=8)
+UNET_CFG = UNetConfig(num_classes=12, dtype="float32")
+VAE_CFG = VAEConfig(grid=GRID, filters=(4, 8), latent_dim=8, dtype="float32")
+TC = TrainConfig(batch_size=4, learning_rate=1e-3)
+
+
+@pytest.fixture(scope="module")
+def dataset(tmp_path_factory):
+    path = tmp_path_factory.mktemp("ds") / "synth"
+    return build_dataset(
+        str(path), n=8, cfg=VoxelizerConfig(grid=GRID, site_pad=16)
+    )
+
+
+def unet_batches(dataset, num_classes):
+    def gen():
+        it = BatchIterator(
+            dataset, dataset.ids, 4, fields=("density", "coords", "species")
+        )
+        for b in it:
+            # squash species labels into [0, num_classes)
+            b["species"] = np.minimum(b["species"], num_classes - 1)
+            yield prepare_unet_batch(b, num_classes)
+
+    return gen
+
+
+class TestUNetTraining:
+    def test_loss_decreases(self, dataset):
+        model, state = create_unet_state(UNET_CFG, TC, jax.random.key(0), grid_d=8)
+        train_step, eval_step = make_unet_steps(model)
+        mesh = make_mesh(n_data=4)
+        batches = list(unet_batches(dataset, UNET_CFG.num_classes)())
+        first = None
+        for i in range(6):
+            b = shard_batch(batches[i % len(batches)], mesh)
+            state, mets = train_step(state, b)
+            if first is None:
+                first = float(mets["loss"])
+        assert float(mets["loss"]) < first
+        em = eval_step(state, shard_batch(batches[0], mesh))
+        assert np.isfinite(float(em["loss"]))
+
+    def test_driver_and_checkpointing(self, dataset, tmp_path):
+        model, state = create_unet_state(UNET_CFG, TC, jax.random.key(0), grid_d=8)
+        gen = unet_batches(dataset, UNET_CFG.num_classes)
+        state, history = train_unet(
+            model, state, gen, gen, epochs=2,
+            checkpoint_dir=str(tmp_path / "ckpt"), mesh=make_mesh(n_data=4),
+            log_fn=lambda *_: None,
+        )
+        assert len(history) == 2
+        ckpt = CheckpointManager(str(tmp_path / "ckpt"))
+        assert ckpt.has("best") and ckpt.has("latest")
+        # restore into a fresh state
+        _, fresh = create_unet_state(UNET_CFG, TC, jax.random.key(1), grid_d=8)
+        restored = ckpt.restore(fresh, "best")
+        l1 = jax.tree_util.tree_leaves(state.params)
+        l2 = jax.tree_util.tree_leaves(restored.params)
+        # best was saved at some epoch; params must be real arrays, finite
+        assert all(np.isfinite(np.asarray(x)).all() for x in l2)
+        assert len(l1) == len(l2)
+
+
+class TestVAETraining:
+    def test_loss_decreases_no_dfc(self, dataset):
+        model, state = create_vae_state(VAE_CFG, TC, jax.random.key(0))
+        train_step, _ = make_vae_steps(model)
+        mesh = make_mesh(n_data=4)
+        _, cond, _ = bin_and_encode(
+            np.asarray(dataset.arrays["target"]), VAE_CFG.cond_bins
+        )
+        it = BatchIterator(
+            dataset, dataset.ids, 4, fields=("density", "coords"),
+            extra={"cond": cond},
+        )
+        batches = [prepare_vae_batch(b, b["cond"]) for b in it]
+        key = jax.random.key(0)
+        first = None
+        for i in range(8):
+            key, sub = jax.random.split(key)
+            state, mets = train_step(
+                state, shard_batch(batches[i % len(batches)], mesh), sub
+            )
+            if first is None:
+                first = float(mets["loss"])
+        assert float(mets["loss"]) < first
+        assert float(mets["kld"]) >= 0
+
+    def test_dfc_loss_uses_unet(self, dataset):
+        """With a perceptual net attached the loss gains a nonzero PM term."""
+        vae_cfg = VAE_CFG
+        model, state = create_vae_state(vae_cfg, TC, jax.random.key(0))
+        unet, ustate = create_unet_state(UNET_CFG, TC, jax.random.key(1), grid_d=8)
+        train_step, _ = make_vae_steps(
+            model, unet, {"params": ustate.params, "batch_stats": ustate.batch_stats}
+        )
+        _, cond, _ = bin_and_encode(
+            np.asarray(dataset.arrays["target"]), vae_cfg.cond_bins
+        )
+        it = BatchIterator(
+            dataset, dataset.ids, 4, fields=("density", "coords"),
+            extra={"cond": cond},
+        )
+        batch = prepare_vae_batch(next(iter(it)), next(iter(it))["cond"])
+        mesh = make_mesh(n_data=4)
+        state, mets = train_step(state, shard_batch(batch, mesh), jax.random.key(2))
+        assert float(mets["perceptual"]) > 0
+
+    def test_driver(self, dataset, tmp_path):
+        model, state = create_vae_state(VAE_CFG, TC, jax.random.key(0))
+        _, cond, _ = bin_and_encode(
+            np.asarray(dataset.arrays["target"]), VAE_CFG.cond_bins
+        )
+
+        def gen():
+            it = BatchIterator(
+                dataset, dataset.ids, 4, fields=("density", "coords"),
+                extra={"cond": cond},
+            )
+            for b in it:
+                yield prepare_vae_batch(b, b["cond"])
+
+        state, history = train_vae(
+            model, state, gen, gen, epochs=2,
+            checkpoint_dir=str(tmp_path / "ck"), mesh=make_mesh(n_data=4),
+            log_fn=lambda *_: None,
+        )
+        assert len(history) == 2
+        assert np.isfinite(history[-1]["val"]["loss"])
+
+
+class TestCGCNNTraining:
+    def test_loss_decreases(self, rng):
+        cfg = CGCNNConfig(max_atoms=8, max_neighbors=4)
+        model, state = create_cgcnn_state(cfg, TC, jax.random.key(0))
+        train_step, eval_step = make_cgcnn_steps(model)
+        mesh = make_mesh(n_data=4)
+        B = 8
+        batch = {
+            "atom_fea": rng.random((B, 8, 93)).astype(np.float32),
+            "nbr_dist": rng.uniform(1, 6, (B, 8, 4)).astype(np.float32),
+            "nbr_idx": rng.integers(0, 8, (B, 8, 4)).astype(np.int32),
+            "atom_mask": np.ones((B, 8), np.float32),
+            "target": rng.normal(size=(B,)).astype(np.float32),
+        }
+        sb = shard_batch(batch, mesh)
+        first = None
+        for _ in range(20):
+            state, mets = train_step(state, sb)
+            if first is None:
+                first = float(mets["loss"])
+        assert float(mets["loss"]) < first
+        em = eval_step(state, sb)
+        assert np.isfinite(float(em["mae"]))
