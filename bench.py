@@ -1,0 +1,130 @@
+"""Benchmark: conditional DFC-VAE training throughput at 32^3 on real TPU.
+
+Prints ONE JSON line:
+    {"metric": "vae_grids_per_sec_per_chip", "value": N, "unit": "grids/s/chip",
+     "vs_baseline": R, "extra": {...}}
+
+The primary metric is voxel grids per second per chip through the FULL
+DFC training step (VAE forward + two frozen U-Net perceptual forwards +
+backward + Adam update) at the reference's production geometry
+(32^3 x 4 grids, latent 256, 95-class perceptual U-Net — vae/lattice_vae.py
+defaults).  The reference repo publishes no numbers (BASELINE.md), so
+``vs_baseline`` is measured against the driver's north-star rate: training
+10k grids x 250 epochs in 10 minutes on 8 chips = 521 grids/s/chip
+(BASELINE.json north_star).  vs_baseline >= 1.0 means the north star is met.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+NORTH_STAR_GRIDS_PER_SEC_PER_CHIP = 10_000 * 250 / 600 / 8  # 520.8
+
+# Peak bf16 matmul throughput per chip, for MFU.
+PEAK_FLOPS = {
+    "v5e": 197e12,
+    "v5p": 459e12,
+    "v4": 275e12,
+    "v6e": 918e12,
+}
+
+
+def main():
+    import os
+
+    from icsg3d_tpu.config import GridSpec, TrainConfig, UNetConfig, VAEConfig
+    from icsg3d_tpu.parallel import make_mesh, shard_batch
+    from icsg3d_tpu.train.unet import create_unet_state
+    from icsg3d_tpu.train.vae import create_vae_state, make_vae_steps
+
+    batch_size = 32
+    d = 32
+    grid = GridSpec(d=d)
+    vae_cfg = VAEConfig(grid=grid)          # production geometry, bf16 compute
+    unet_cfg = UNetConfig()                 # 95-class perceptual net, bf16
+    tc = TrainConfig(batch_size=batch_size, learning_rate=5e-4)
+
+    vae, state = create_vae_state(vae_cfg, tc, jax.random.key(0))
+    unet, ustate = create_unet_state(unet_cfg, tc, jax.random.key(1), grid_d=d)
+    train_step, _ = make_vae_steps(
+        vae, unet, {"params": ustate.params, "batch_stats": ustate.batch_stats}
+    )
+
+    rng = np.random.default_rng(0)
+    mesh = make_mesh()
+    batch = shard_batch(
+        {
+            "x": rng.random((batch_size, d, d, d, 4)).astype(np.float32),
+            "cond": np.eye(10, dtype=np.float32)[
+                rng.integers(0, 10, batch_size)
+            ],
+        },
+        mesh,
+    )
+    key = jax.random.key(0)
+
+    # FLOPs per step from XLA's own cost analysis (fwd+bwd+update, all fused).
+    try:
+        lowered = jax.jit(train_step, donate_argnums=(0,)).lower(
+            state, batch, key
+        )
+        cost = lowered.compile().cost_analysis()
+        flops_per_step = float(cost.get("flops", 0.0)) if cost else 0.0
+    except Exception:
+        flops_per_step = 0.0
+
+    # Warmup (compile) then timed steps.
+    for _ in range(3):
+        state, mets = train_step(state, batch, key)
+    jax.block_until_ready(mets["loss"])
+
+    n_steps = 20
+    t0 = time.perf_counter()
+    for _ in range(n_steps):
+        state, mets = train_step(state, batch, key)
+    jax.block_until_ready(mets["loss"])
+    dt = time.perf_counter() - t0
+
+    n_chips = len(jax.devices())
+    steps_per_sec = n_steps / dt
+    grids_per_sec_per_chip = steps_per_sec * batch_size / n_chips
+
+    gen = os.environ.get("PALLAS_AXON_TPU_GEN", "v5e")
+    peak = PEAK_FLOPS.get(gen, PEAK_FLOPS["v5e"])
+    mfu = (
+        flops_per_step * steps_per_sec / (peak * n_chips)
+        if flops_per_step
+        else None
+    )
+
+    print(
+        json.dumps(
+            {
+                "metric": "vae_grids_per_sec_per_chip",
+                "value": round(grids_per_sec_per_chip, 2),
+                "unit": "grids/s/chip",
+                "vs_baseline": round(
+                    grids_per_sec_per_chip / NORTH_STAR_GRIDS_PER_SEC_PER_CHIP, 4
+                ),
+                "extra": {
+                    "batch_size": batch_size,
+                    "grid": d,
+                    "n_chips": n_chips,
+                    "step_ms": round(1000 * dt / n_steps, 2),
+                    "mfu": round(mfu, 4) if mfu is not None else None,
+                    "flops_per_step": flops_per_step,
+                    "loss": float(jax.device_get(mets["loss"])),
+                    "platform": jax.devices()[0].platform,
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
