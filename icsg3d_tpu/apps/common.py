@@ -1,0 +1,125 @@
+"""Shared helpers for the application CLIs: model/checkpoint loading and
+batched inference functions."""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from icsg3d_tpu.config import (
+    CGCNNConfig,
+    GridSpec,
+    TrainConfig,
+    UNetConfig,
+    VAEConfig,
+)
+from icsg3d_tpu.models import CGCNN, ConditionalDFCVAE, UNet3D
+from icsg3d_tpu.models.vae import ConditionalDFCVAE
+from icsg3d_tpu.train import (
+    CheckpointManager,
+    create_cgcnn_state,
+    create_unet_state,
+    create_vae_state,
+)
+
+
+def load_unet(
+    cfg: UNetConfig, checkpoint_dir: Optional[str], grid_d: int = 32,
+    which: str = "best",
+) -> Tuple[UNet3D, Dict]:
+    """U-Net + variables, restored from a checkpoint when one exists."""
+    model, state = create_unet_state(
+        cfg, TrainConfig(), jax.random.key(0), grid_d=grid_d
+    )
+    if checkpoint_dir:
+        ckpt = CheckpointManager(checkpoint_dir)
+        if ckpt.has(which):
+            state = ckpt.restore(state, which)
+    return model, {"params": state.params, "batch_stats": state.batch_stats}
+
+
+def load_vae(
+    cfg: VAEConfig, checkpoint_dir: Optional[str], which: str = "best"
+) -> Tuple[ConditionalDFCVAE, Dict]:
+    model, state = create_vae_state(cfg, TrainConfig(), jax.random.key(0))
+    if checkpoint_dir:
+        ckpt = CheckpointManager(checkpoint_dir)
+        if ckpt.has(which):
+            state = ckpt.restore(state, which)
+    return model, {"params": state.params, "batch_stats": state.batch_stats}
+
+
+def load_cgcnn(
+    cfg: CGCNNConfig, checkpoint_dir: Optional[str], which: str = "best"
+) -> Tuple[CGCNN, Dict]:
+    model, state = create_cgcnn_state(cfg, TrainConfig(), jax.random.key(0))
+    if checkpoint_dir:
+        ckpt = CheckpointManager(checkpoint_dir)
+        if ckpt.has(which):
+            state = ckpt.restore(state, which)
+    return model, {"params": state.params}
+
+
+def jit_vae_encode(model: ConditionalDFCVAE, variables):
+    @jax.jit
+    def encode(x, cond):
+        return model.apply(variables, x, cond, method=ConditionalDFCVAE.encode)
+
+    return encode
+
+
+def jit_vae_decode(model: ConditionalDFCVAE, variables):
+    @jax.jit
+    def decode(z, cond):
+        return model.apply(variables, z, cond, method=ConditionalDFCVAE.decode)
+
+    return decode
+
+
+def jit_vae_reconstruct(model: ConditionalDFCVAE, variables):
+    @jax.jit
+    def recon(x, cond, rng):
+        out, z_mean, z_log_var, _ = model.apply(
+            variables, x, cond, rng, train=False
+        )
+        return out, z_mean, z_log_var
+
+    return recon
+
+
+def jit_unet_segment(model: UNet3D, variables, binary_threshold: float = 0.8):
+    """Segment grids: (species labels, binary occupancy, probs)."""
+
+    @jax.jit
+    def segment(x):
+        soft, sig = model.apply(variables, x, train=False)
+        probs = jax.nn.softmax(soft, axis=-1)
+        labels = jnp.argmax(probs, axis=-1)
+        binary = (jax.nn.sigmoid(sig[..., 0]) > binary_threshold).astype(
+            jnp.int32
+        )
+        return labels, binary, probs
+
+    return segment
+
+
+def jit_cgcnn_predict(model: CGCNN, variables):
+    @jax.jit
+    def predict(atom_fea, nbr_dist, nbr_idx, atom_mask):
+        return model.apply(
+            variables, atom_fea, nbr_dist, nbr_idx, atom_mask
+        )
+
+    return predict
+
+
+def grid_input(density: np.ndarray, coords: np.ndarray) -> np.ndarray:
+    """(B,d,d,d) + (B,d,d,d,3) -> (B,d,d,d,4) model input."""
+    return np.concatenate(
+        [density[..., None].astype(np.float32), coords.astype(np.float32)],
+        axis=-1,
+    )

@@ -1,0 +1,158 @@
+"""Reconstruction-quality evaluation over the validation split.
+
+Reference: eval.py — for each validation sample, VAE-reconstruct the grid,
+U-Net segment, watershed-extract atoms, and compare against ground truth:
+EMD between predicted/true atom positions, |delta atom count|, per-axis
+lattice-parameter errors.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+from typing import Dict, List
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from icsg3d_tpu.apps import common
+from icsg3d_tpu.config import GridSpec, PipelineConfig, UNetConfig, VAEConfig
+from icsg3d_tpu.data.binning import bin_and_encode
+from icsg3d_tpu.data.splits import data_split
+from icsg3d_tpu.data.store import BatchIterator, GridDataset
+from icsg3d_tpu.ops.emd import earth_movers_distance
+from icsg3d_tpu.ops.grid import (
+    to_lattice_params,
+    to_voxel_params,
+    voxel_to_cartesian,
+)
+from icsg3d_tpu.ops.segmentation import watershed_clustering
+
+
+def evaluate_reconstructions(
+    vae_model,
+    vae_vars,
+    unet_model,
+    unet_vars,
+    dataset: GridDataset,
+    ids: List[str],
+    conds: np.ndarray,
+    batch_size: int = 10,
+    pipe: PipelineConfig = PipelineConfig(),
+    seed: int = 0,
+) -> Dict:
+    """Per-sample EMD / atom-count / lattice errors, means over the split.
+
+    conds: per-id one-hot conditions aligned with ``ids``.
+    """
+    grid = pipe.grid
+    recon_fn = common.jit_vae_reconstruct(vae_model, vae_vars)
+    segment = common.jit_unet_segment(
+        unet_model, unet_vars, pipe.binary_threshold
+    )
+
+    it = BatchIterator(
+        dataset, ids, batch_size,
+        fields=("density", "coords", "species", "lattice"),
+        extra={"cond": conds},
+    )
+    key = jax.random.key(seed)
+    emds, datoms, dlattice = [], [], []
+    for batch in it:
+        x = common.grid_input(batch["density"], batch["coords"])
+        key, sub = jax.random.split(key)
+        recon, _, _ = recon_fn(
+            jnp.asarray(x), jnp.asarray(batch["cond"]), sub
+        )
+        recon = np.asarray(recon)
+        l_pred = np.asarray(to_lattice_params(jnp.asarray(recon[..., 1:]), grid))
+        dv_pred = np.asarray(to_voxel_params(jnp.asarray(l_pred), grid))
+        labels, binary, _ = segment(jnp.asarray(recon))
+        labels, binary = np.asarray(labels), np.asarray(binary)
+
+        for i in range(len(recon)):
+            true_l = batch["lattice"][i][:3]
+            # ground-truth atoms from the stored species grid
+            S_true = batch["species"][i].astype(int)
+            try:
+                atoms_p, mu_p = watershed_clustering(
+                    recon[i, ..., 0],
+                    np.where(binary[i] > 0, labels[i], 0),
+                    binary[i],
+                    max_iters=pipe.watershed_max_iters,
+                    wmin=pipe.watershed_wmin,
+                    min_convexity=pipe.watershed_min_convexity,
+                )
+                atoms_t, mu_t = watershed_clustering(
+                    batch["density"][i], S_true, (S_true > 0).astype(int),
+                    max_iters=pipe.watershed_max_iters,
+                    wmin=pipe.watershed_wmin,
+                    min_convexity=pipe.watershed_min_convexity,
+                )
+                dv_true = np.asarray(
+                    to_voxel_params(jnp.asarray(true_l, jnp.float32)[None], grid)
+                )[0]
+                cart_p = np.asarray(
+                    voxel_to_cartesian(jnp.asarray(mu_p), l_pred[i], dv_pred[i], grid)
+                ) if len(mu_p) else np.zeros((0, 3))
+                cart_t = np.asarray(
+                    voxel_to_cartesian(jnp.asarray(mu_t), true_l, dv_true, grid)
+                ) if len(mu_t) else np.zeros((0, 3))
+                emds.append(earth_movers_distance(cart_p, cart_t))
+                datoms.append(abs(len(atoms_p) - len(atoms_t)))
+            except Exception:
+                continue  # robustness parity (eval.py:193-199)
+            dlattice.append(np.abs(l_pred[i] - true_l))
+
+    dlattice = np.asarray(dlattice) if dlattice else np.zeros((0, 3))
+    return {
+        "mean_emd": float(np.mean(emds)) if emds else float("nan"),
+        "mean_datoms": float(np.mean(datoms)) if datoms else float("nan"),
+        "mean_dlattice": (
+            dlattice.mean(axis=0).tolist() if len(dlattice) else [float("nan")] * 3
+        ),
+        "n_evaluated": len(emds),
+    }
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description="Evaluate VAE reconstructions")
+    p.add_argument("--data", required=True)
+    p.add_argument("--vae-ckpt", required=True)
+    p.add_argument("--unet-ckpt", required=True)
+    p.add_argument("--batch-size", type=int, default=10)
+    p.add_argument("--d", type=int, default=32)
+    p.add_argument("--num-classes", type=int, default=95)
+    p.add_argument("--cond-bins", type=int, default=10)
+    p.add_argument("--samples", type=int, default=None)
+    p.add_argument("--output", default=None)
+    args = p.parse_args(argv)
+
+    grid = GridSpec(d=args.d)
+    pipe = PipelineConfig(grid=grid, cond_bins=args.cond_bins)
+    ds = GridDataset(args.data)
+    _, conds, _ = bin_and_encode(np.asarray(ds.arrays["target"]), args.cond_bins)
+    # validation split without rotations (eval.py:130-142)
+    _, val_ids = data_split(ds.ids, n=args.samples, n_rot=0)
+    cond_map = {sid: conds[ds.index[sid]] for sid in val_ids}
+    conds_val = np.stack([cond_map[sid] for sid in val_ids])
+
+    vae_model, vae_vars = common.load_vae(
+        VAEConfig(grid=grid, cond_bins=args.cond_bins), args.vae_ckpt
+    )
+    unet_model, unet_vars = common.load_unet(
+        UNetConfig(num_classes=args.num_classes), args.unet_ckpt, grid_d=args.d
+    )
+    results = evaluate_reconstructions(
+        vae_model, vae_vars, unet_model, unet_vars, ds, val_ids, conds_val,
+        batch_size=args.batch_size, pipe=pipe,
+    )
+    print(json.dumps(results, indent=1))
+    if args.output:
+        with open(args.output, "w") as f:
+            json.dump(results, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()

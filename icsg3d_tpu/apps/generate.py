@@ -1,0 +1,272 @@
+"""End-to-end generation: sample latents around a base compound, decode,
+segment, extract atoms, emit structures/CIFs, predict properties.
+
+Reference: generate.py.  Differences by design:
+
+- decode + segmentation + lattice-parameter recovery run as one jitted
+  device program per batch (the reference round-tripped through three
+  separate Keras predict calls);
+- CGCNN weights load ONCE per property for the whole run and predictions
+  run batched over all generated structures (the reference re-loaded and
+  re-compiled weights per property *per sample*, cgcnn/utils.py:81-93);
+- graph featurization happens directly on the generated Structure objects —
+  no CIF round trip through the filesystem;
+- grid geometry comes from GridSpec (the reference hardcoded 32s,
+  generate.py:211-221).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+from typing import Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from icsg3d_tpu.apps import common
+from icsg3d_tpu.config import (
+    CGCNNConfig,
+    GridSpec,
+    PipelineConfig,
+    UNetConfig,
+    VAEConfig,
+)
+from icsg3d_tpu.crystal.cif import write_cif
+from icsg3d_tpu.crystal.structure import Structure
+from icsg3d_tpu.data.graphs import GraphSpec, featurize_batch
+from icsg3d_tpu.ops.grid import to_lattice_params, to_voxel_params, voxel_to_cartesian
+from icsg3d_tpu.ops.segmentation import watershed_clustering
+
+
+def decode_and_segment_fn(vae_model, vae_vars, unet_model, unet_vars, pipe: PipelineConfig):
+    """One fused XLA program: decode latents -> segment -> lattice params."""
+    grid = pipe.grid
+
+    @jax.jit
+    def fn(z, cond):
+        M = vae_model.apply(
+            vae_vars, z, cond, method=type(vae_model).decode
+        )
+        lattice = to_lattice_params(M[..., 1:], grid)
+        dv = to_voxel_params(lattice, grid)
+        soft, sig = unet_model.apply(unet_vars, M, train=False)
+        probs = jax.nn.softmax(soft, axis=-1)
+        labels = jnp.argmax(probs, axis=-1)
+        binary = (
+            jax.nn.sigmoid(sig[..., 0]) > pipe.binary_threshold
+        ).astype(jnp.int32)
+        return M, lattice, dv, labels, binary
+
+    return fn
+
+
+def generate_structures(
+    vae_model,
+    vae_vars,
+    unet_model,
+    unet_vars,
+    base_density: np.ndarray,
+    base_coords: np.ndarray,
+    base_cond: np.ndarray,
+    n_samples: int = 100,
+    batch_size: int = 20,
+    var: float = 0.5,
+    pipe: PipelineConfig = PipelineConfig(),
+    seed: int = 0,
+) -> List[Dict]:
+    """Sample around the base compound's posterior mean and decode to atoms.
+
+    Returns one record per sample: {structure, lattice, atoms, coords,
+    valid, formula}.  Mirrors generate.py:181-267.
+    """
+    grid = pipe.grid
+    encode = common.jit_vae_encode(vae_model, vae_vars)
+    step = decode_and_segment_fn(vae_model, vae_vars, unet_model, unet_vars, pipe)
+
+    x_base = common.grid_input(base_density[None], base_coords[None])
+    cond = np.asarray(base_cond, np.float32)[None]
+    z_mu, _ = encode(jnp.asarray(x_base), jnp.asarray(cond))
+    z_mu = np.asarray(z_mu)[0]
+
+    rng = np.random.default_rng(seed)
+    records: List[Dict] = []
+    n_batches = max(1, int(np.ceil(n_samples / batch_size)))
+    for b in range(n_batches):
+        n = min(batch_size, n_samples - b * batch_size)
+        if n <= 0:
+            break
+        # z ~ N(z_mu_base, var) (generate.py:204)
+        z = rng.normal(z_mu, np.sqrt(var), size=(n, len(z_mu))).astype(
+            np.float32
+        )
+        cond_b = np.repeat(cond, n, axis=0)
+        M, lattice, dv, labels, binary = step(jnp.asarray(z), jnp.asarray(cond_b))
+        M = np.asarray(M)
+        lattice = np.asarray(lattice)
+        dv = np.asarray(dv)
+        labels = np.asarray(labels)
+        binary = np.asarray(binary)
+
+        for i in range(n):
+            rec: Dict = {"lattice": lattice[i].tolist(), "valid": False}
+            try:
+                atoms, mu = watershed_clustering(
+                    M[i, ..., 0],
+                    np.where(binary[i] > 0, labels[i], 0),
+                    binary[i],
+                    max_iters=pipe.watershed_max_iters,
+                    wmin=pipe.watershed_wmin,
+                    min_convexity=pipe.watershed_min_convexity,
+                )
+                if len(atoms) == 0:
+                    records.append(rec)
+                    continue
+                cart = np.asarray(
+                    voxel_to_cartesian(
+                        jnp.asarray(mu), lattice[i], dv[i], grid
+                    )
+                )
+                structure = Structure.from_cartesian(
+                    lattice[i], atoms.astype(int), cart,
+                    angles=pipe.cell_angles,
+                )
+                rec.update(
+                    {
+                        "structure": structure,
+                        "atoms": atoms.astype(int).tolist(),
+                        "coords": cart.tolist(),
+                        "formula": structure.reduced_formula,
+                        "valid": bool(structure.is_valid()),
+                    }
+                )
+            except Exception as e:  # watershed robustness (generate.py:246-248)
+                rec["error"] = str(e)
+            records.append(rec)
+    return records
+
+
+def predict_properties(
+    records: Sequence[Dict],
+    cgcnn_cfg: CGCNNConfig,
+    property_checkpoints: Dict[str, str],
+    batch_size: int = 32,
+) -> None:
+    """Batched CGCNN property prediction over the valid generated structures.
+
+    Loads each property's weights once (fixing the reference's
+    per-sample-per-property reload, cgcnn/utils.py:81-93) and mutates the
+    records in place with a ``properties`` dict.
+    """
+    spec = GraphSpec(
+        max_atoms=cgcnn_cfg.max_atoms,
+        max_neighbors=cgcnn_cfg.max_neighbors,
+        radius=cgcnn_cfg.radius,
+        dmin=cgcnn_cfg.dmin,
+        step=cgcnn_cfg.step,
+    )
+    usable = [
+        r for r in records
+        if r.get("structure") is not None
+        and 0 < len(r["structure"]) <= spec.max_atoms
+    ]
+    if not usable:
+        return
+    graphs = featurize_batch([r["structure"] for r in usable], spec)
+
+    for prop, ckpt_dir in property_checkpoints.items():
+        model, variables = common.load_cgcnn(cgcnn_cfg, ckpt_dir)
+        predict = common.jit_cgcnn_predict(model, variables)
+        preds = []
+        for s in range(0, len(usable), batch_size):
+            sl = slice(s, s + batch_size)
+            preds.append(
+                np.asarray(
+                    predict(
+                        jnp.asarray(graphs["atom_fea"][sl]),
+                        jnp.asarray(graphs["nbr_dist"][sl]),
+                        jnp.asarray(graphs["nbr_idx"][sl]),
+                        jnp.asarray(graphs["atom_mask"][sl]),
+                    )
+                )
+            )
+        preds = np.concatenate(preds)
+        for r, p in zip(usable, preds):
+            r.setdefault("properties", {})[prop] = float(p)
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description="Generate crystal structures")
+    p.add_argument("--data", required=True, help="packed GridDataset dir")
+    p.add_argument("--base", required=True, help="base sample id")
+    p.add_argument("--vae-ckpt", required=True)
+    p.add_argument("--unet-ckpt", required=True)
+    p.add_argument("--cgcnn-ckpt", default=None, help="dir per property: name=dir,...")
+    p.add_argument("--nsamples", type=int, default=100)
+    p.add_argument("--batch-size", type=int, default=20)
+    p.add_argument("--var", type=float, default=0.5)
+    p.add_argument("--d", type=int, default=32)
+    p.add_argument("--num-classes", type=int, default=95)
+    p.add_argument("--target", default="formation_energy_per_atom")
+    p.add_argument("--cond-bins", type=int, default=10)
+    p.add_argument("--output", default="output/generated")
+    p.add_argument("--seed", type=int, default=0)
+    args = p.parse_args(argv)
+
+    from icsg3d_tpu.data.binning import bin_and_encode
+    from icsg3d_tpu.data.store import GridDataset
+
+    grid = GridSpec(d=args.d)
+    pipe = PipelineConfig(grid=grid, cond_bins=args.cond_bins, sample_var=args.var)
+    ds = GridDataset(args.data)
+    _, conds, _ = bin_and_encode(
+        np.asarray(ds.arrays["target"]), args.cond_bins
+    )
+
+    vae_model, vae_vars = common.load_vae(
+        VAEConfig(grid=grid, cond_bins=args.cond_bins), args.vae_ckpt
+    )
+    unet_model, unet_vars = common.load_unet(
+        UNetConfig(num_classes=args.num_classes), args.unet_ckpt, grid_d=args.d
+    )
+
+    row = ds.index[args.base]
+    records = generate_structures(
+        vae_model, vae_vars, unet_model, unet_vars,
+        np.asarray(ds.arrays["density"][row]),
+        np.asarray(ds.arrays["coords"][row]),
+        conds[row],
+        n_samples=args.nsamples,
+        batch_size=args.batch_size,
+        var=args.var,
+        pipe=pipe,
+        seed=args.seed,
+    )
+
+    if args.cgcnn_ckpt:
+        prop_ckpts = dict(kv.split("=") for kv in args.cgcnn_ckpt.split(","))
+        predict_properties(records, CGCNNConfig(), prop_ckpts)
+
+    os.makedirs(os.path.join(args.output, "cifs"), exist_ok=True)
+    n_valid = 0
+    rows = []
+    for i, r in enumerate(records):
+        if r.get("valid"):
+            n_valid += 1
+            path = os.path.join(args.output, "cifs", f"gen-{i}.cif")
+            write_cif(r["structure"], path)
+        rows.append(
+            {k: v for k, v in r.items() if k not in ("structure",)}
+        )
+    with open(os.path.join(args.output, "results.json"), "w") as f:
+        json.dump(rows, f, indent=1)
+    print(
+        f"generated {len(records)} samples, {n_valid} valid structures "
+        f"-> {args.output}"
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,94 @@
+"""Latent-space interpolation between two compounds.
+
+Reference: interpolate.py — encode two samples (per condition bin), linearly
+interpolate in z, decode ``ninterps`` steps, save slice plots.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from icsg3d_tpu.apps import common
+from icsg3d_tpu.config import GridSpec, VAEConfig
+from icsg3d_tpu.data.binning import bin_and_encode
+from icsg3d_tpu.data.store import GridDataset
+
+
+def interpolate_latents(
+    vae_model,
+    vae_vars,
+    x_a: np.ndarray,
+    cond_a: np.ndarray,
+    x_b: np.ndarray,
+    cond_b: np.ndarray,
+    n_interps: int = 10,
+) -> np.ndarray:
+    """Decode a linear path between the posterior means of two samples.
+
+    Returns (n_interps, d, d, d, C) decoded grids (interpolate.py:47-64).
+    """
+    encode = common.jit_vae_encode(vae_model, vae_vars)
+    decode = common.jit_vae_decode(vae_model, vae_vars)
+
+    z_a, _ = encode(jnp.asarray(x_a[None]), jnp.asarray(cond_a[None]))
+    z_b, _ = encode(jnp.asarray(x_b[None]), jnp.asarray(cond_b[None]))
+    z_a, z_b = np.asarray(z_a)[0], np.asarray(z_b)[0]
+
+    ts = np.linspace(0.0, 1.0, n_interps)[:, None].astype(np.float32)
+    zs = (1.0 - ts) * z_a + ts * z_b
+    conds = (1.0 - ts) * cond_a[None] + ts * cond_b[None]
+    out = decode(jnp.asarray(zs), jnp.asarray(conds.astype(np.float32)))
+    return np.asarray(out)
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description="Interpolate between compounds")
+    p.add_argument("--data", required=True)
+    p.add_argument("--vae-ckpt", required=True)
+    p.add_argument("--a", required=True, help="first sample id")
+    p.add_argument("--b", required=True, help="second sample id")
+    p.add_argument("--ninterps", type=int, default=10)
+    p.add_argument("--d", type=int, default=32)
+    p.add_argument("--cond-bins", type=int, default=10)
+    p.add_argument("--output", default="output/interpolation")
+    args = p.parse_args(argv)
+
+    grid = GridSpec(d=args.d)
+    ds = GridDataset(args.data)
+    _, conds, _ = bin_and_encode(np.asarray(ds.arrays["target"]), args.cond_bins)
+    vae_model, vae_vars = common.load_vae(
+        VAEConfig(grid=grid, cond_bins=args.cond_bins), args.vae_ckpt
+    )
+
+    ia, ib = ds.index[args.a], ds.index[args.b]
+    x_a = common.grid_input(
+        np.asarray(ds.arrays["density"][ia])[None],
+        np.asarray(ds.arrays["coords"][ia])[None],
+    )[0]
+    x_b = common.grid_input(
+        np.asarray(ds.arrays["density"][ib])[None],
+        np.asarray(ds.arrays["coords"][ib])[None],
+    )[0]
+
+    grids = interpolate_latents(
+        vae_model, vae_vars, x_a, conds[ia], x_b, conds[ib], args.ninterps
+    )
+    os.makedirs(args.output, exist_ok=True)
+    np.save(os.path.join(args.output, "interpolation.npy"), grids)
+
+    from icsg3d_tpu import viz
+
+    viz.plot_interpolation(
+        grids, os.path.join(args.output, "interpolation.png")
+    )
+    print(f"wrote {args.ninterps} interpolation steps -> {args.output}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,105 @@
+"""Materials Project dataset downloader.
+
+Reference: query_matproj.py — query MPRester by anonymous formula / chemical
+system, write CIFs + a property CSV.  This environment has no network
+egress and no pymatgen; the CLI degrades gracefully:
+
+- with pymatgen + network available it performs the query;
+- otherwise it exits with a clear message pointing at the offline paths
+  (icsg3d_tpu.apps.voxelize --cifs on an existing CIF directory, or
+  --synthetic for generated datasets).
+
+The reference built its query dict with ``eval`` on user input
+(query_matproj.py:37) — here the criteria are parsed safely.
+"""
+
+from __future__ import annotations
+
+import argparse
+import csv
+import os
+import sys
+
+PROPERTIES = [
+    "task_id",
+    "pretty_formula",
+    "formation_energy_per_atom",
+    "cif",
+    "band_gap",
+    "energy_per_atom",
+    "nsites",
+]
+
+
+def build_criteria(anonymous_formula=None, system=None):
+    """Safe parse of the query criteria.
+
+    The reference ``eval``-ed the user's --anonymous_formula string
+    (query_matproj.py:37, e.g. '{"A":1,"B":1,"C":3}'); here it is parsed as
+    JSON.
+    """
+    import json
+
+    criteria = {}
+    if anonymous_formula:
+        criteria["anonymous_formula"] = (
+            json.loads(anonymous_formula)
+            if anonymous_formula.strip().startswith("{")
+            else anonymous_formula
+        )
+    if system:
+        criteria["chemsys"] = system
+    return criteria
+
+
+def run_query(api_key, name, anonymous_formula=None, system=None, out="data"):
+    try:
+        from pymatgen.ext.matproj import MPRester  # noqa: F401
+    except ImportError:
+        print(
+            "pymatgen is not available in this environment; the Materials "
+            "Project query path needs it.\n"
+            "Offline alternatives:\n"
+            "  python -m icsg3d_tpu.apps.voxelize --cifs <dir> --out <dataset>\n"
+            "  python -m icsg3d_tpu.apps.voxelize --synthetic 1000 --out <dataset>",
+            file=sys.stderr,
+        )
+        return 1
+
+    criteria = build_criteria(anonymous_formula, system)
+    with MPRester(api_key) as mpr:
+        docs = mpr.query(criteria=criteria, properties=PROPERTIES)
+
+    cif_dir = os.path.join(out, name, "cifs")
+    os.makedirs(cif_dir, exist_ok=True)
+    rows = []
+    for doc in docs:
+        task_id = doc["task_id"]
+        with open(os.path.join(cif_dir, f"{task_id}.cif"), "w") as f:
+            f.write(doc["cif"])
+        rows.append({k: doc.get(k) for k in PROPERTIES if k != "cif"})
+    with open(os.path.join(out, name, f"{name}.csv"), "w", newline="") as f:
+        writer = csv.DictWriter(f, fieldnames=[k for k in PROPERTIES if k != "cif"])
+        writer.writeheader()
+        writer.writerows(rows)
+    print(f"wrote {len(rows)} structures -> {os.path.join(out, name)}")
+    return 0
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description="Query the Materials Project")
+    p.add_argument("--key", required=True, help="Materials Project API key")
+    p.add_argument("--name", required=True)
+    p.add_argument("--anonymous-formula", default=None, help="e.g. ABC3")
+    p.add_argument("--system", default=None, help="e.g. Li-Fe-O")
+    p.add_argument("--out", default="data")
+    args = p.parse_args(argv)
+    sys.exit(
+        run_query(
+            args.key, args.name, args.anonymous_formula, args.system, args.out
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,116 @@
+"""CGCNN property-regression training CLI.
+
+Reference: train_cgcnn.py (defaults: batch 32, lr 1e-3, 60 epochs, MSE loss,
+best-val-MAE checkpointing).  Graphs are featurized once up front from CIFs
+or synthetic structures, then batches stream from packed arrays.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import jax
+import numpy as np
+
+from icsg3d_tpu.config import CGCNNConfig, TrainConfig
+from icsg3d_tpu.data.graphs import GraphSpec, featurize_batch
+from icsg3d_tpu.train.cgcnn import create_cgcnn_state, train_cgcnn
+
+
+def graph_arrays_from_cifs(cif_dir, targets_csv, target_column, spec):
+    import csv
+
+    from icsg3d_tpu.crystal.cif import read_cif
+
+    target_map = {}
+    with open(targets_csv) as f:
+        for row in csv.DictReader(f):
+            key = row.get("task_id") or row.get("id") or row.get("material_id")
+            if key and row.get(target_column) not in (None, ""):
+                target_map[key] = float(row[target_column])
+
+    structures, targets = [], []
+    for fname in sorted(os.listdir(cif_dir)):
+        if not fname.endswith(".cif"):
+            continue
+        sid = fname[: -len(".cif")]
+        if sid not in target_map:
+            continue
+        try:
+            s = read_cif(os.path.join(cif_dir, fname))
+        except Exception:
+            continue
+        if 0 < len(s) <= spec.max_atoms:
+            structures.append(s)
+            targets.append(target_map[sid])
+    graphs = featurize_batch(structures, spec)
+    graphs["target"] = np.asarray(targets, np.float32)
+    return graphs
+
+
+def graph_arrays_synthetic(n, seed, spec):
+    from icsg3d_tpu.data.synthetic import random_structures, synthetic_target
+
+    structures = random_structures(n, seed=seed, kinds=("perovskite", "rocksalt"))
+    graphs = featurize_batch(structures, spec)
+    graphs["target"] = np.asarray(
+        [synthetic_target(s) for s in structures], np.float32
+    )
+    return graphs
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description="Train the CGCNN regressor")
+    p.add_argument("--cifs", default=None)
+    p.add_argument("--targets-csv", default=None)
+    p.add_argument("--target", default="formation_energy_per_atom")
+    p.add_argument("--synthetic", type=int, default=0)
+    p.add_argument("--epochs", type=int, default=60)
+    p.add_argument("--batch-size", type=int, default=32)
+    p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--split-frac", type=float, default=0.8)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--ckpt", default="checkpoints/cgcnn")
+    args = p.parse_args(argv)
+
+    cfg = CGCNNConfig()
+    spec = GraphSpec(
+        max_atoms=cfg.max_atoms, max_neighbors=cfg.max_neighbors,
+        radius=cfg.radius, dmin=cfg.dmin, step=cfg.step,
+    )
+    if args.synthetic:
+        graphs = graph_arrays_synthetic(args.synthetic, args.seed, spec)
+    elif args.cifs and args.targets_csv:
+        graphs = graph_arrays_from_cifs(
+            args.cifs, args.targets_csv, args.target, spec
+        )
+    else:
+        p.error("need --synthetic N or --cifs + --targets-csv")
+
+    n = len(graphs["target"])
+    rng = np.random.default_rng(args.seed)
+    order = rng.permutation(n)
+    cut = int(args.split_frac * n)
+    train_idx, val_idx = order[:cut], order[cut:]
+
+    def batches(idx):
+        def gen():
+            for s in range(0, len(idx) - args.batch_size + 1, args.batch_size):
+                sel = idx[s : s + args.batch_size]
+                yield {k: v[sel] for k, v in graphs.items()}
+
+        return gen
+
+    tc = TrainConfig(batch_size=args.batch_size, learning_rate=args.lr)
+    model, state = create_cgcnn_state(cfg, tc, jax.random.key(args.seed))
+    state, history = train_cgcnn(
+        model, state, batches(train_idx), batches(val_idx),
+        epochs=args.epochs, checkpoint_dir=args.ckpt,
+    )
+    print(f"done; best val MAE "
+          f"{min(h['val']['mae'] for h in history):.4f} -> {args.ckpt}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,91 @@
+"""U-Net training CLI.
+
+Reference: train_unet.py (defaults: batch 10, lr 3e-6, 50 epochs).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import jax
+import numpy as np
+
+from icsg3d_tpu.config import GridSpec, TrainConfig, UNetConfig
+from icsg3d_tpu.data.class_weights import inverse_frequency_weights
+from icsg3d_tpu.data.splits import data_split
+from icsg3d_tpu.data.store import BatchIterator, GridDataset
+from icsg3d_tpu.train.unet import create_unet_state, prepare_unet_batch, train_unet
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description="Train the 3D U-Net segmenter")
+    p.add_argument("--data", required=True)
+    p.add_argument("--samples", type=int, default=None)
+    p.add_argument("--epochs", type=int, default=50)
+    p.add_argument("--batch-size", type=int, default=10)
+    p.add_argument("--lr", type=float, default=3e-6)
+    p.add_argument("--d", type=int, default=32)
+    p.add_argument("--num-classes", type=int, default=95)
+    p.add_argument("--nrot", type=int, default=10)
+    p.add_argument("--split-frac", type=float, default=0.8)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--no-class-weights", action="store_true")
+    p.add_argument("--ckpt", default="checkpoints/unet")
+    args = p.parse_args(argv)
+
+    ds = GridDataset(args.data)
+    train_ids, val_ids = data_split(
+        ds.ids, n=args.samples, frac=args.split_frac, n_rot=args.nrot
+    )
+    cfg = UNetConfig(num_classes=args.num_classes)
+    tc = TrainConfig(
+        batch_size=args.batch_size, learning_rate=args.lr, epochs=args.epochs
+    )
+    model, state = create_unet_state(cfg, tc, jax.random.key(args.seed), args.d)
+
+    # inverse-frequency weights over the TRAINING split only, zero class
+    # zeroed (train_unet.py:114-119)
+    if args.no_class_weights:
+        class_weights = None
+    else:
+        rows = ds.rows([i for i in train_ids if "_rot_" not in i])
+        species = np.asarray(ds.arrays["species"][rows])
+        class_weights = inverse_frequency_weights(species, args.num_classes)
+        class_weights[0] = 0.0
+
+    def batches(ids, shuffle, seed):
+        def gen():
+            it = BatchIterator(
+                ds, ids, args.batch_size,
+                fields=("density", "coords", "species"),
+                shuffle=shuffle, seed=seed,
+            )
+            for b in it:
+                yield prepare_unet_batch(b, args.num_classes)
+
+        return gen
+
+    state, history = train_unet(
+        model, state,
+        batches(train_ids, True, args.seed),
+        batches(val_ids, False, 0),
+        epochs=args.epochs,
+        class_weights=class_weights,
+        checkpoint_dir=args.ckpt,
+    )
+
+    from icsg3d_tpu import viz
+
+    os.makedirs(args.ckpt, exist_ok=True)
+    viz.plot_losses(
+        [h["train"]["loss"] for h in history],
+        [h["val"]["loss"] for h in history],
+        os.path.join(args.ckpt, "loss.png"),
+    )
+    print(f"done; best val loss "
+          f"{min(h['val']['loss'] for h in history):.4f} -> {args.ckpt}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,106 @@
+"""Conditional DFC-VAE training CLI.
+
+Reference: train_vae.py (defaults: batch 20, lr 5e-4, 250 epochs,
+alpha=0.5, beta=3e-4; requires a trained U-Net for the perceptual loss).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import jax
+import numpy as np
+
+from icsg3d_tpu.config import GridSpec, TrainConfig, UNetConfig, VAEConfig
+from icsg3d_tpu.apps import common
+from icsg3d_tpu.data.binning import bin_and_encode
+from icsg3d_tpu.data.splits import data_split
+from icsg3d_tpu.data.store import BatchIterator, GridDataset
+from icsg3d_tpu.train.vae import create_vae_state, prepare_vae_batch, train_vae
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description="Train the conditional DFC-VAE")
+    p.add_argument("--data", required=True)
+    p.add_argument("--unet-ckpt", default=None,
+                   help="trained U-Net checkpoint dir for the DFC loss")
+    p.add_argument("--samples", type=int, default=None)
+    p.add_argument("--epochs", type=int, default=250)
+    p.add_argument("--batch-size", type=int, default=20)
+    p.add_argument("--lr", type=float, default=5e-4)
+    p.add_argument("--d", type=int, default=32)
+    p.add_argument("--latent", type=int, default=256)
+    p.add_argument("--alpha", type=float, default=0.5)
+    p.add_argument("--beta", type=float, default=3e-4)
+    p.add_argument("--cond-bins", type=int, default=10)
+    p.add_argument("--num-classes", type=int, default=95)
+    p.add_argument("--nrot", type=int, default=10)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--ckpt", default="checkpoints/vae")
+    args = p.parse_args(argv)
+
+    ds = GridDataset(args.data)
+    train_ids, val_ids = data_split(ds.ids, n=args.samples, n_rot=args.nrot)
+    # trim to batch multiples (train_vae.py:108-111 semantics are automatic:
+    # BatchIterator drops remainders)
+
+    grid = GridSpec(d=args.d)
+    cfg = VAEConfig(
+        grid=grid, latent_dim=args.latent, alpha=args.alpha, beta=args.beta,
+        cond_bins=args.cond_bins,
+    )
+    tc = TrainConfig(
+        batch_size=args.batch_size, learning_rate=args.lr, epochs=args.epochs
+    )
+    model, state = create_vae_state(cfg, tc, jax.random.key(args.seed))
+
+    unet = unet_vars = None
+    if args.unet_ckpt:
+        unet, unet_vars = common.load_unet(
+            UNetConfig(num_classes=args.num_classes), args.unet_ckpt,
+            grid_d=args.d,
+        )
+
+    _, conds, _ = bin_and_encode(
+        np.asarray(ds.arrays["target"]), args.cond_bins
+    )
+
+    def batches(ids, shuffle, seed):
+        rows_cond = np.stack([conds[ds.index[i]] for i in ids])
+
+        def gen():
+            it = BatchIterator(
+                ds, ids, args.batch_size, fields=("density", "coords"),
+                shuffle=shuffle, seed=seed, extra={"cond": rows_cond},
+            )
+            for b in it:
+                yield prepare_vae_batch(b, b["cond"])
+
+        return gen
+
+    state, history = train_vae(
+        model, state,
+        batches(train_ids, True, args.seed),
+        batches(val_ids, False, 0),
+        epochs=args.epochs,
+        unet=unet,
+        unet_variables=unet_vars,
+        checkpoint_dir=args.ckpt,
+        seed=args.seed,
+    )
+
+    from icsg3d_tpu import viz
+
+    os.makedirs(args.ckpt, exist_ok=True)
+    viz.plot_losses(
+        [h["train"]["loss"] for h in history],
+        [h["val"]["loss"] for h in history],
+        os.path.join(args.ckpt, "loss.png"),
+    )
+    print(f"done; best val loss "
+          f"{min(h['val']['loss'] for h in history):.4f} -> {args.ckpt}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,149 @@
+"""Visualization utilities (matplotlib, Agg backend).
+
+Capability parity with the reference viz.py: voxel-grid renderings,
+real-vs-reconstruction panels, slice plots, interpolation strips, 3D species
+scatters, latent KDE / t-SNE plots, and loss curves.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import matplotlib
+
+matplotlib.use("Agg")
+
+import matplotlib.pyplot as plt
+import numpy as np
+
+
+def plot_slices(
+    grid: np.ndarray, path: str, axis: int = 2, n_slices: int = 8, channel: int = 0
+):
+    """Evenly-spaced 2D slices through a (d,d,d) or (d,d,d,C) grid
+    (reference viz.py:107-156 animation, as a static strip)."""
+    g = np.asarray(grid)
+    if g.ndim == 4:
+        g = g[..., channel]
+    d = g.shape[axis]
+    idxs = np.linspace(0, d - 1, n_slices).astype(int)
+    fig, axes = plt.subplots(1, n_slices, figsize=(2 * n_slices, 2))
+    for ax, i in zip(np.atleast_1d(axes), idxs):
+        sl = np.take(g, i, axis=axis)
+        ax.imshow(sl)
+        ax.set_xticks([]); ax.set_yticks([])
+        ax.set_title(f"z={i}", fontsize=8)
+    fig.tight_layout()
+    fig.savefig(path, dpi=120)
+    plt.close(fig)
+
+
+def plot_real_vs_pred(
+    real: np.ndarray, pred: np.ndarray, path: str, slice_idx: Optional[int] = None
+):
+    """Side-by-side center slices, one row per sample (viz.py:69-105)."""
+    real, pred = np.asarray(real), np.asarray(pred)
+    if real.ndim == 4:
+        real, pred = real[None], pred[None]
+    n = len(real)
+    k = slice_idx if slice_idx is not None else real.shape[3] // 2
+    fig, axes = plt.subplots(n, 2, figsize=(5, 2.2 * n), squeeze=False)
+    for i in range(n):
+        axes[i][0].imshow(real[i, :, :, k, 0])
+        axes[i][1].imshow(pred[i, :, :, k, 0])
+        for a in axes[i]:
+            a.set_xticks([]); a.set_yticks([])
+    axes[0][0].set_title("real"); axes[0][1].set_title("reconstruction")
+    fig.tight_layout()
+    fig.savefig(path, dpi=120)
+    plt.close(fig)
+
+
+def plot_interpolation(grids: np.ndarray, path: str, channel: int = 0):
+    """One row of center slices across interpolation steps
+    (interpolate.py:174-202)."""
+    grids = np.asarray(grids)
+    n = len(grids)
+    k = grids.shape[3] // 2
+    fig, axes = plt.subplots(1, n, figsize=(2 * n, 2))
+    for ax, g in zip(np.atleast_1d(axes), grids):
+        ax.imshow(g[:, :, k, channel])
+        ax.set_xticks([]); ax.set_yticks([])
+    fig.tight_layout()
+    fig.savefig(path, dpi=120)
+    plt.close(fig)
+
+
+def plot_points_3d(labels: np.ndarray, path: str):
+    """3D scatter of nonzero voxels colored by label (viz.py:207-233)."""
+    labels = np.asarray(labels)
+    idx = np.argwhere(labels != 0)
+    fig = plt.figure(figsize=(5, 5))
+    ax = fig.add_subplot(projection="3d")
+    if len(idx):
+        vals = labels[idx[:, 0], idx[:, 1], idx[:, 2]]
+        ax.scatter(idx[:, 0], idx[:, 1], idx[:, 2], c=vals, cmap="tab20", s=6)
+    for lim in (ax.set_xlim, ax.set_ylim, ax.set_zlim):
+        lim(0, labels.shape[0])
+    fig.savefig(path, dpi=120)
+    plt.close(fig)
+
+
+def plot_losses(
+    train_losses: Sequence[float], val_losses: Sequence[float], path: str
+):
+    """Loss curves (vae/lattice_vae.py:427-436, unet/unet.py:71-91)."""
+    fig, ax = plt.subplots()
+    ax.plot(train_losses, label="train loss")
+    ax.plot(val_losses, label="val loss")
+    ax.set_xlabel("epoch"); ax.set_ylabel("loss")
+    ax.legend(loc="best")
+    fig.savefig(path, dpi=120)
+    plt.close(fig)
+
+
+def plot_latent_kde(z: np.ndarray, path: str, max_dims: int = 64):
+    """Per-dimension Gaussian KDEs of encoded latents
+    (vae/lattice_vae.py:402-425)."""
+    from scipy import stats
+
+    z = np.asarray(z)
+    x = np.linspace(-3, 3, 50)
+    fig, ax = plt.subplots()
+    for i in range(min(z.shape[1], max_dims)):
+        col = z[:, i]
+        if np.std(col) < 1e-8:
+            continue
+        ax.plot(x, stats.gaussian_kde(col)(x), lw=0.5)
+    ax.set_xlabel("$x$"); ax.set_ylabel("density")
+    fig.savefig(path, dpi=120)
+    plt.close(fig)
+
+
+def plot_latent_tsne(z: np.ndarray, path: str, colors=None, seed: int = 0):
+    """2D t-SNE of latent vectors (viz.py:158-181)."""
+    from sklearn.manifold import TSNE
+
+    z = np.asarray(z)
+    emb = TSNE(
+        n_components=2, random_state=seed,
+        perplexity=min(30.0, max(2.0, len(z) / 4)),
+    ).fit_transform(z)
+    fig, ax = plt.subplots()
+    ax.scatter(emb[:, 0], emb[:, 1], c=colors, cmap="viridis", s=8)
+    fig.savefig(path, dpi=120)
+    plt.close(fig)
+
+
+def plot_parity(
+    true_vals: np.ndarray, pred_vals: np.ndarray, path: str, label: str = ""
+):
+    """Parity scatter with y=x line (eval.py:243-322)."""
+    t, p = np.asarray(true_vals), np.asarray(pred_vals)
+    fig, ax = plt.subplots()
+    ax.scatter(t, p, s=10, alpha=0.6)
+    lo, hi = min(t.min(), p.min()), max(t.max(), p.max())
+    ax.plot([lo, hi], [lo, hi], "k--", lw=1)
+    ax.set_xlabel(f"true {label}"); ax.set_ylabel(f"pred {label}")
+    fig.savefig(path, dpi=120)
+    plt.close(fig)

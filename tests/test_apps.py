@@ -1,0 +1,234 @@
+"""Application-layer tests: end-to-end generate/evaluate/interpolate on tiny
+trained models, CLI smoke tests, CIF dataset building, EMD metric."""
+
+import json
+import os
+import subprocess
+import sys
+
+import jax
+import numpy as np
+import pytest
+
+from icsg3d_tpu.apps import common
+from icsg3d_tpu.apps.generate import generate_structures, predict_properties
+from icsg3d_tpu.apps.evaluate import evaluate_reconstructions
+from icsg3d_tpu.apps.interpolate import interpolate_latents
+from icsg3d_tpu.apps.voxelize import build_from_cifs, voxelize_structures
+from icsg3d_tpu.config import (
+    CGCNNConfig,
+    GridSpec,
+    PipelineConfig,
+    TrainConfig,
+    UNetConfig,
+    VAEConfig,
+    VoxelizerConfig,
+)
+from icsg3d_tpu.crystal.cif import write_cif
+from icsg3d_tpu.data.binning import bin_and_encode
+from icsg3d_tpu.data.synthetic import build_dataset, random_structures
+from icsg3d_tpu.ops.emd import earth_movers_distance
+
+GRID = GridSpec(d=8)
+PIPE = PipelineConfig(grid=GRID, binary_threshold=0.5)
+UNET_CFG = UNetConfig(num_classes=60, dtype="float32")
+VAE_CFG = VAEConfig(grid=GRID, filters=(4, 8), latent_dim=8, dtype="float32")
+
+
+@pytest.fixture(scope="module")
+def dataset(tmp_path_factory):
+    path = tmp_path_factory.mktemp("appds") / "synth"
+    return build_dataset(
+        str(path), n=6, cfg=VoxelizerConfig(grid=GRID, site_pad=16)
+    )
+
+
+@pytest.fixture(scope="module")
+def models():
+    """Untrained tiny models (apps must run regardless of training state)."""
+    vae_model, vae_vars = common.load_vae(VAE_CFG, None)
+    unet_model, unet_vars = common.load_unet(UNET_CFG, None, grid_d=GRID.d)
+    return vae_model, vae_vars, unet_model, unet_vars
+
+
+class TestEMD:
+    def test_identical_sets(self):
+        a = np.array([[0.0, 0, 0], [1, 1, 1]])
+        assert earth_movers_distance(a, a) == 0.0
+
+    def test_known_offset(self):
+        a = np.array([[0.0, 0, 0]])
+        b = np.array([[3.0, 4, 0]])
+        assert earth_movers_distance(a, b) == pytest.approx(5.0)
+
+    def test_unequal_sizes_padded(self):
+        a = np.array([[1.0, 0, 0]])
+        b = np.array([[1.0, 0, 0], [0, 2, 0]])
+        # unmatched true atom pairs against the zero pad -> distance 2
+        assert earth_movers_distance(a, b) == pytest.approx(1.0)
+
+    def test_empty_pred(self):
+        assert np.isfinite(
+            earth_movers_distance(np.zeros((0, 3)), np.array([[1.0, 1, 1]]))
+        )
+
+
+class TestGenerate:
+    def test_generate_structures(self, dataset, models):
+        vae_model, vae_vars, unet_model, unet_vars = models
+        _, conds, _ = bin_and_encode(np.asarray(dataset.arrays["target"]), 10)
+        records = generate_structures(
+            vae_model, vae_vars, unet_model, unet_vars,
+            np.asarray(dataset.arrays["density"][0]),
+            np.asarray(dataset.arrays["coords"][0]),
+            conds[0],
+            n_samples=4, batch_size=2, pipe=PIPE,
+        )
+        assert len(records) == 4
+        for r in records:
+            assert "lattice" in r and len(r["lattice"]) == 3
+
+    def test_predict_properties_batched(self, dataset, models):
+        """Valid structures get a property from a single weight load."""
+        structures = random_structures(3, seed=0)
+        records = [{"structure": s, "valid": True} for s in structures]
+        cfg = CGCNNConfig()
+        predict_properties(records, cfg, {"formation_energy": None})
+        for r in records:
+            assert "formation_energy" in r["properties"]
+            assert np.isfinite(r["properties"]["formation_energy"])
+
+
+class TestEvaluate:
+    def test_evaluate_runs(self, dataset, models):
+        vae_model, vae_vars, unet_model, unet_vars = models
+        _, conds, _ = bin_and_encode(np.asarray(dataset.arrays["target"]), 10)
+        ids = dataset.ids[:4]
+        conds4 = conds[:4]
+        out = evaluate_reconstructions(
+            vae_model, vae_vars, unet_model, unet_vars,
+            dataset, ids, conds4, batch_size=2, pipe=PIPE,
+        )
+        assert set(out) >= {"mean_emd", "mean_datoms", "mean_dlattice"}
+        # ground truth side always extracts atoms, so evals complete
+        assert out["n_evaluated"] > 0
+        assert np.isfinite(out["mean_emd"])
+
+
+class TestInterpolate:
+    def test_interpolation_shapes_and_endpoints(self, dataset, models):
+        vae_model, vae_vars, _, _ = models
+        _, conds, _ = bin_and_encode(np.asarray(dataset.arrays["target"]), 10)
+        x_a = common.grid_input(
+            np.asarray(dataset.arrays["density"][0])[None],
+            np.asarray(dataset.arrays["coords"][0])[None],
+        )[0]
+        x_b = common.grid_input(
+            np.asarray(dataset.arrays["density"][1])[None],
+            np.asarray(dataset.arrays["coords"][1])[None],
+        )[0]
+        grids = interpolate_latents(
+            vae_model, vae_vars, x_a, conds[0], x_b, conds[1], n_interps=5
+        )
+        assert grids.shape == (5, 8, 8, 8, 4)
+        assert np.isfinite(grids).all()
+
+
+class TestVoxelizeApp:
+    def test_build_from_cifs_roundtrip(self, tmp_path):
+        """Write structures as CIFs, rebuild a dataset from them."""
+        structures = random_structures(3, seed=1)
+        cif_dir = tmp_path / "cifs"
+        os.makedirs(cif_dir)
+        for i, s in enumerate(structures):
+            write_cif(s, str(cif_dir / f"mp-{i}.cif"))
+        csv_path = tmp_path / "props.csv"
+        with open(csv_path, "w") as f:
+            f.write("task_id,formation_energy_per_atom\n")
+            for i in range(3):
+                f.write(f"mp-{i},{-1.0 - i}\n")
+        ds = build_from_cifs(
+            str(cif_dir), str(tmp_path / "out"),
+            targets_csv=str(csv_path),
+            cfg=VoxelizerConfig(grid=GRID, site_pad=16),
+            process_index=0, process_count=1,
+        )
+        assert len(ds) == 3
+        assert np.allclose(
+            sorted(np.asarray(ds.arrays["target"])), [-3.0, -2.0, -1.0]
+        )
+        assert ds.arrays["density"].shape == (3, 8, 8, 8)
+
+    def test_process_striding_is_disjoint(self, tmp_path):
+        structures = random_structures(4, seed=2)
+        cif_dir = tmp_path / "cifs"
+        os.makedirs(cif_dir)
+        for i, s in enumerate(structures):
+            write_cif(s, str(cif_dir / f"mp-{i}.cif"))
+        ds0 = build_from_cifs(
+            str(cif_dir), str(tmp_path / "o"),
+            cfg=VoxelizerConfig(grid=GRID, site_pad=16),
+            process_index=0, process_count=2,
+        )
+        ds1 = build_from_cifs(
+            str(cif_dir), str(tmp_path / "o"),
+            cfg=VoxelizerConfig(grid=GRID, site_pad=16),
+            process_index=1, process_count=2,
+        )
+        assert not set(ds0.ids) & set(ds1.ids)
+        assert len(ds0) + len(ds1) == 4
+
+    def test_merge_parts(self, tmp_path):
+        from icsg3d_tpu.apps.voxelize import merge_parts
+
+        structures = random_structures(4, seed=2)
+        cif_dir = tmp_path / "cifs"
+        os.makedirs(cif_dir)
+        for i, s in enumerate(structures):
+            write_cif(s, str(cif_dir / f"mp-{i}.cif"))
+        for pidx in range(2):
+            build_from_cifs(
+                str(cif_dir), str(tmp_path / "o"),
+                cfg=VoxelizerConfig(grid=GRID, site_pad=16),
+                process_index=pidx, process_count=2,
+            )
+        merged = merge_parts(str(tmp_path / "o"))
+        assert len(merged) == 4
+
+    def test_skips_oversized(self):
+        structures = random_structures(2, seed=0, kinds=("rocksalt",))  # 8 sites
+        ids, arrays = voxelize_structures(
+            structures, ["a", "b"], [0.0, 0.0],
+            cfg=VoxelizerConfig(grid=GRID, max_sites=5, site_pad=16),
+        )
+        assert ids == []  # all skipped
+        assert arrays["density"].shape[0] == 0
+
+
+class TestCLIs:
+    def test_voxelize_cli_synthetic(self, tmp_path):
+        env = dict(os.environ, JAX_PLATFORMS="cpu")
+        out = subprocess.run(
+            [
+                sys.executable, "-m", "icsg3d_tpu.apps.voxelize",
+                "--synthetic", "3", "--out", str(tmp_path / "ds"),
+                "--d", "8", "--nrot", "1",
+            ],
+            capture_output=True, text=True, env=env, cwd="/root/repo",
+            timeout=600,
+        )
+        assert out.returncode == 0, out.stderr
+        assert "wrote 6 samples" in out.stdout
+
+    def test_query_cli_degrades_without_pymatgen(self):
+        env = dict(os.environ, JAX_PLATFORMS="cpu")
+        out = subprocess.run(
+            [
+                sys.executable, "-m", "icsg3d_tpu.apps.query",
+                "--key", "X", "--name", "t",
+            ],
+            capture_output=True, text=True, env=env, cwd="/root/repo",
+            timeout=300,
+        )
+        assert out.returncode == 1
+        assert "voxelize" in out.stderr  # points at offline path
