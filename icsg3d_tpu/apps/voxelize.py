@@ -152,6 +152,8 @@ def build_from_cifs(
                 if key is not None and row.get(target_column) not in (None, ""):
                     target_map[key] = float(row[target_column])
 
+    from icsg3d_tpu.utils.timeout import TimeoutError_, run_with_timeout
+
     files = sorted(
         f for f in os.listdir(cif_dir) if f.endswith(".cif")
     )
@@ -161,8 +163,12 @@ def build_from_cifs(
             continue  # create_matrices.py:107 rank stride
         sid = fname[: -len(".cif")]  # real suffix strip (not str.strip)
         try:
-            s = read_cif(os.path.join(cif_dir, fname))
-        except Exception:
+            # 120s parse budget like the reference's func_timeout guard
+            # around create_crystal (utils.py:147)
+            s = run_with_timeout(
+                read_cif, 120.0, os.path.join(cif_dir, fname)
+            )
+        except (Exception, TimeoutError_):
             continue  # skip malformed files (create_matrices.py:211-214)
         structures.append(s)
         ids.append(sid)

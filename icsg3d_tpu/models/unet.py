@@ -25,7 +25,7 @@ TPU-first differences from the reference:
 
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import Optional, Sequence, Tuple
 
 import jax.numpy as jnp
 from flax import linen as nn
@@ -38,11 +38,25 @@ class UNet3D(nn.Module):
     cfg: UNetConfig = UNetConfig()
 
     @nn.compact
-    def __call__(self, x, train: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    def __call__(
+        self,
+        x,
+        train: bool = False,
+        max_conv: Optional[int] = None,
+        sow_taps: Optional[Sequence[int]] = None,
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """x: (B, D, H, W, C) density+coordinate grid.
 
         Returns (soft_logits (B,D,H,W,num_classes), sig_logits (B,D,H,W,1)),
         both float32.
+
+        max_conv: stop after this conv index (1-based) and return (None,
+        None) — the perceptual feature path uses this so XLA never compiles
+        the unused decoder tail (conv10-14 carry ~80% of the U-Net FLOPs at
+        32^3 and the DFC taps only reach conv9).
+        sow_taps: restrict which post-ReLU activations are sown; sowing
+        every conv keeps all 14 activations live in the jaxpr and defeats
+        dead-code elimination.  None sows all (inspection/debug use).
         """
         cfg = self.cfg
         x = x.astype(jnp.dtype(cfg.dtype))
@@ -64,7 +78,8 @@ class UNet3D(nn.Module):
                 name=f"conv{idx}",
             )(h)
             h = nn.relu(h)
-            self.sow("intermediates", f"relu{idx}", h)
+            if sow_taps is None or idx in sow_taps:
+                self.sow("intermediates", f"relu{idx}", h)
             h = nn.BatchNorm(
                 use_running_average=not train,
                 momentum=cfg.bn_momentum,
@@ -75,23 +90,37 @@ class UNet3D(nn.Module):
             )(h)
             return h
 
+        done = lambda: max_conv is not None and idx >= max_conv
+
         # Encoder
         for f1, f2 in cfg.enc_filters:
             x = conv_relu_bn(x, f1)
+            if done():
+                return None, None
             x = conv_relu_bn(x, f2)
+            if done():
+                return None, None
             skips.append(x)
             x = max_pool_3d(x)
 
         # Bottleneck
         x = conv_relu_bn(x, cfg.bottom_filters[0])
+        if done():
+            return None, None
         x = conv_relu_bn(x, cfg.bottom_filters[1])
+        if done():
+            return None, None
 
         # Decoder
         for (f1, f2), skip in zip(cfg.dec_filters, reversed(skips)):
             x = upsample_3d(x)
             x = jnp.concatenate([skip, x.astype(skip.dtype)], axis=-1)
             x = conv_relu_bn(x, f1)
+            if done():
+                return None, None
             x = conv_relu_bn(x, f2)
+            if done():
+                return None, None
 
         soft = nn.Conv(
             cfg.num_classes,
@@ -121,10 +150,13 @@ def unet_features(model: UNet3D, variables, x, taps: Sequence[int]):
     """Post-ReLU activations of the given conv indices (1-based).
 
     The DFC-VAE perceptual taps default to convs (3, 5, 7, 9)
-    (config.VAEConfig.perceptual_taps).
+    (config.VAEConfig.perceptual_taps).  Runs only through max(taps) and
+    sows only the requested activations, so XLA compiles exactly the
+    feature-extractor prefix.
     """
     _, state = model.apply(
-        variables, x, train=False, mutable=["intermediates"]
+        variables, x, train=False, mutable=["intermediates"],
+        max_conv=max(taps), sow_taps=tuple(taps),
     )
     inter = state["intermediates"]
     return [inter[f"relu{i}"][0] for i in taps]

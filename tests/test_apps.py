@@ -232,3 +232,23 @@ class TestCLIs:
         )
         assert out.returncode == 1
         assert "voxelize" in out.stderr  # points at offline path
+
+
+class TestFusedGenerate:
+    def test_fused_matches_shapes_and_runs(self, dataset, models):
+        from icsg3d_tpu.apps.generate import generate_structures_fused
+
+        vae_model, vae_vars, unet_model, unet_vars = models
+        _, conds, _ = bin_and_encode(np.asarray(dataset.arrays["target"]), 10)
+        records = generate_structures_fused(
+            vae_model, vae_vars, unet_model, unet_vars,
+            np.asarray(dataset.arrays["density"][0]),
+            np.asarray(dataset.arrays["coords"][0]),
+            conds[0],
+            n_samples=4, batch_size=2, pipe=PIPE, max_atoms=16,
+        )
+        assert len(records) == 4
+        for r in records:
+            assert "lattice" in r
+            if r.get("structure") is not None:
+                assert len(r["atoms"]) == len(r["coords"])

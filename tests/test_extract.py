@@ -1,0 +1,103 @@
+"""Device-side atom extraction tests: agreement with the host watershed on
+Gaussian density fields, fixed-shape/vmap behavior."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from icsg3d_tpu.config import GridSpec
+from icsg3d_tpu.crystal.lattice import Lattice
+from icsg3d_tpu.crystal.structure import Site, Structure
+from icsg3d_tpu.ops.extract import extract_atoms, extract_atoms_batch
+from icsg3d_tpu.ops.segmentation import watershed_clustering
+from icsg3d_tpu.ops.voxelize import pad_sites, voxelize
+
+
+def gaussian_blob(d, center, sigma=1.5):
+    g = np.mgrid[:d, :d, :d].astype(float)
+    d2 = sum((g[i] - center[i]) ** 2 for i in range(3))
+    return np.exp(-d2 / (2 * sigma**2))
+
+
+class TestExtractAtoms:
+    def test_single_blob(self):
+        d = 16
+        M = gaussian_blob(d, (8, 8, 8))
+        Sb = (M > 0.1).astype(np.int32)
+        S = np.where(Sb, 26, 0).astype(np.int32)
+        atoms, mu, valid = extract_atoms(
+            jnp.asarray(M), jnp.asarray(S), jnp.asarray(Sb), max_atoms=8
+        )
+        atoms, mu, valid = map(np.asarray, (atoms, mu, valid))
+        assert valid.sum() == 1
+        assert atoms[valid][0] == 26
+        assert np.allclose(mu[valid][0], [8, 8, 8], atol=0.6)
+
+    def test_two_blobs(self):
+        d = 20
+        M = gaussian_blob(d, (5, 5, 5)) + gaussian_blob(d, (14, 14, 14))
+        Sb = (M > 0.1).astype(np.int32)
+        S = np.where(Sb, 8, 0).astype(np.int32)
+        atoms, mu, valid = extract_atoms(
+            jnp.asarray(M), jnp.asarray(S), jnp.asarray(Sb), max_atoms=8
+        )
+        atoms, mu, valid = map(np.asarray, (atoms, mu, valid))
+        assert valid.sum() == 2
+        got = sorted(mu[valid].tolist())
+        assert np.allclose(got[0], [5, 5, 5], atol=0.8)
+        assert np.allclose(got[1], [14, 14, 14], atol=0.8)
+
+    def test_empty(self):
+        z = jnp.zeros((8, 8, 8))
+        atoms, mu, valid = extract_atoms(
+            z, z.astype(jnp.int32), z.astype(jnp.int32), max_atoms=4
+        )
+        assert np.asarray(valid).sum() == 0
+
+    def test_agrees_with_host_watershed_on_structure(self):
+        """On a voxelized perovskite the device path and the host watershed
+        find the same atoms at the same positions."""
+        grid = GridSpec(d=32)
+        a0 = 4.2
+        lattice = Lattice.from_parameters(a0, a0, a0)
+        structure = Structure(
+            lattice,
+            [
+                Site(56, np.array([0.1, 0.1, 0.1])),
+                Site(22, np.array([0.6, 0.6, 0.6])),
+                Site(8, np.array([0.6, 0.6, 0.1])),
+                Site(8, np.array([0.6, 0.1, 0.6])),
+                Site(8, np.array([0.1, 0.6, 0.6])),
+            ],
+        )
+        N, z, r = structure.site_arrays()
+        cart = lattice.cartesian(N)
+        s, zz, ss, mm = pad_sites(cart, z, r, 16)
+        abc = np.array(lattice.abc, np.float32)
+        M, S = voxelize(s, zz, ss, mm, jnp.asarray(abc), grid)
+        M, S = np.asarray(M), np.asarray(S).astype(np.int32)
+        Sb = (S != 0).astype(np.int32)
+
+        atoms_h, mu_h = watershed_clustering(M, S, Sb)
+        atoms_d, mu_d, valid = extract_atoms(
+            jnp.asarray(M), jnp.asarray(S), jnp.asarray(Sb), max_atoms=16
+        )
+        atoms_d = np.asarray(atoms_d)[np.asarray(valid)]
+        mu_d = np.asarray(mu_d)[np.asarray(valid)]
+
+        assert sorted(atoms_d.tolist()) == sorted(atoms_h.tolist())
+        # positions agree within a voxel
+        for m_h in mu_h:
+            dmin = np.min(np.linalg.norm(mu_d - m_h, axis=1))
+            assert dmin < 1.0
+
+    def test_batch_vmap(self):
+        d = 12
+        M = np.stack([gaussian_blob(d, (6, 6, 6)), gaussian_blob(d, (3, 3, 3))])
+        Sb = (M > 0.1).astype(np.int32)
+        S = np.where(Sb, 13, 0).astype(np.int32)
+        atoms, mu, valid = extract_atoms_batch(
+            jnp.asarray(M), jnp.asarray(S), jnp.asarray(Sb), max_atoms=4
+        )
+        assert np.asarray(atoms).shape == (2, 4)
+        assert np.asarray(valid).sum(axis=1).tolist() == [1, 1]
