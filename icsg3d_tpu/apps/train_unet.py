@@ -73,6 +73,7 @@ def main(argv=None):
         epochs=args.epochs,
         class_weights=class_weights,
         checkpoint_dir=args.ckpt,
+        plot_dir=os.path.join(args.ckpt, "plots"),
     )
 
     from icsg3d_tpu import viz

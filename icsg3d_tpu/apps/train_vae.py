@@ -88,6 +88,7 @@ def main(argv=None):
         unet_variables=unet_vars,
         checkpoint_dir=args.ckpt,
         seed=args.seed,
+        plot_dir=os.path.join(args.ckpt, "plots"),
     )
 
     from icsg3d_tpu import viz

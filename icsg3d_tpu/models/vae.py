@@ -169,3 +169,20 @@ def reparameterize(rng, z_mean, z_log_var):
     """z = mu + exp(log_var / 2) * eps (vae/lattice_vae.py:53-66)."""
     eps = jax.random.normal(rng, z_mean.shape, dtype=z_mean.dtype)
     return z_mean + jnp.exp(0.5 * z_log_var) * eps
+
+
+def sample_prior(model, variables, rng, n_samples: int, cond=None, var: float = 1.0):
+    """Decode z ~ N(0, var) under given (or random) condition bins.
+
+    Reference: sample_vae (vae/lattice_vae.py:349-357), minus its cond
+    tiling bug (it tiled an (n,10) one-hot by (n,1) into (n^2,10); only
+    plot_samples consumed it).  Returns (z, decoded grids).
+    """
+    cfg = model.cfg
+    z_key, c_key = jax.random.split(rng)
+    z = jax.random.normal(z_key, (n_samples, cfg.latent_dim)) * jnp.sqrt(var)
+    if cond is None:
+        bins = jax.random.randint(c_key, (n_samples,), 0, cfg.cond_bins)
+        cond = jax.nn.one_hot(bins, cfg.cond_bins)
+    out = model.apply(variables, z, cond, method=type(model).decode)
+    return z, out

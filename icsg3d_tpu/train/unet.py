@@ -120,6 +120,27 @@ def _mean_metrics(history):
     return {k: float(np.mean([h[k] for h in history])) for k in history[0]}
 
 
+def _save_best_plots(model, state, batch, plot_dir: str):
+    """Best-val segmentation panels (the TrainingPlot callback,
+    unet/unet.py:39-157): true vs predicted labels and binary masks."""
+    import os
+
+    from icsg3d_tpu import viz
+
+    os.makedirs(plot_dir, exist_ok=True)
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    soft, sig = model.apply(variables, batch["x"], train=False)
+    pred = np.asarray(jnp.argmax(soft, axis=-1), dtype=np.float32)[..., None]
+    true = np.asarray(jnp.argmax(batch["y_soft"], axis=-1), np.float32)[..., None]
+    n = min(4, len(pred))
+    viz.plot_real_vs_pred(true[:n], pred[:n], f"{plot_dir}/segmentations_best.png")
+    viz.plot_real_vs_pred(
+        np.asarray(batch["y_sig"][:n]),
+        np.asarray(jax.nn.sigmoid(sig[:n])),
+        f"{plot_dir}/segmentations_binary_best.png",
+    )
+
+
 def train_unet(
     model: UNet3D,
     state: ModelState,
@@ -130,8 +151,10 @@ def train_unet(
     checkpoint_dir: Optional[str] = None,
     mesh=None,
     log_fn=print,
+    plot_dir: Optional[str] = None,
 ):
-    """Epoch loop with best-val checkpointing.
+    """Epoch loop with best-val checkpointing (and best-val segmentation
+    plots when plot_dir is given).
 
     train_batches/val_batches: callables returning fresh epoch iterators of
     prepared batches (see prepare_unet_batch).
@@ -140,13 +163,17 @@ def train_unet(
     train_step, eval_step = make_unet_steps(model, class_weights)
     ckpt = CheckpointManager(checkpoint_dir) if checkpoint_dir else None
     history = []
+    last_val_batch = None
     for epoch in range(epochs):
         t0 = time.time()
         train_mets = []
         for b in train_batches():
             state, m = train_step(state, shard_batch(b, mesh))
             train_mets.append(m)
-        val_mets = [eval_step(state, shard_batch(b, mesh)) for b in val_batches()]
+        val_mets = []
+        for b in val_batches():
+            val_mets.append(eval_step(state, shard_batch(b, mesh)))
+            last_val_batch = b
         tm = _mean_metrics([jax.device_get(m) for m in train_mets])
         vm = _mean_metrics([jax.device_get(m) for m in val_mets])
         history.append({"train": tm, "val": vm, "time": time.time() - t0})
@@ -157,5 +184,7 @@ def train_unet(
         )
         if ckpt:
             ckpt.save_latest(state)
-            ckpt.save_if_best(state, vm["loss"])
+            improved = ckpt.save_if_best(state, vm["loss"])
+            if improved and plot_dir and last_val_batch is not None:
+                _save_best_plots(model, state, last_val_batch, plot_dir)
     return state, history

@@ -147,6 +147,31 @@ def _mean_metrics(history):
     return {k: float(np.mean([h[k] for h in history])) for k in history[0]}
 
 
+def _save_best_plots(model, state, batch, plot_dir: str, epoch: int):
+    """Best-val visualization set (vae/lattice_vae.py:327-337):
+    reconstructions, prior samples, latent KDE."""
+    import os
+
+    from icsg3d_tpu import viz
+    from icsg3d_tpu.models.vae import sample_prior
+
+    os.makedirs(plot_dir, exist_ok=True)
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    recon, z_mean, _, _ = model.apply(
+        variables, batch["x"], batch["cond"], jax.random.key(0), train=False
+    )
+    n = min(4, len(batch["x"]))
+    viz.plot_real_vs_pred(
+        np.asarray(batch["x"][:n]), np.asarray(recon[:n]),
+        f"{plot_dir}/reconstructions.png",
+    )
+    _, samples = sample_prior(
+        model, variables, jax.random.key(epoch), n_samples=4
+    )
+    viz.plot_slices(np.asarray(samples[0]), f"{plot_dir}/samples.png")
+    viz.plot_latent_kde(np.asarray(z_mean), f"{plot_dir}/latent_kde.png")
+
+
 def train_vae(
     model: ConditionalDFCVAE,
     state: ModelState,
@@ -159,14 +184,17 @@ def train_vae(
     mesh=None,
     seed: int = 0,
     log_fn=print,
+    plot_dir: Optional[str] = None,
 ):
     """Epoch loop mirroring LatticeDFCVAE.train (vae/lattice_vae.py:288-342):
-    per-epoch train/val metric means, wall-clock print, best-val save."""
+    per-epoch train/val metric means, wall-clock print, best-val save (and
+    best-val plots when plot_dir is given)."""
     mesh = mesh or make_mesh()
     train_step, eval_step = make_vae_steps(model, unet, unet_variables)
     ckpt = CheckpointManager(checkpoint_dir) if checkpoint_dir else None
     key = jax.random.key(seed)
     history = []
+    last_val_batch = None
     for epoch in range(epochs):
         t0 = time.time()
         train_mets = []
@@ -178,6 +206,7 @@ def train_vae(
         for b in val_batches():
             key, sub = jax.random.split(key)
             val_mets.append(eval_step(state, shard_batch(b, mesh), sub))
+            last_val_batch = b
         tm = _mean_metrics([jax.device_get(m) for m in train_mets])
         vm = _mean_metrics([jax.device_get(m) for m in val_mets])
         history.append({"train": tm, "val": vm, "time": time.time() - t0})
@@ -189,5 +218,7 @@ def train_vae(
         )
         if ckpt:
             ckpt.save_latest(state)
-            ckpt.save_if_best(state, vm["loss"])
+            improved = ckpt.save_if_best(state, vm["loss"])
+            if improved and plot_dir and last_val_batch is not None:
+                _save_best_plots(model, state, last_val_batch, plot_dir, epoch)
     return state, history

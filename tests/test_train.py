@@ -187,3 +187,64 @@ class TestCGCNNTraining:
         assert float(mets["loss"]) < first
         em = eval_step(state, sb)
         assert np.isfinite(float(em["mae"]))
+
+
+class TestPlottingHooks:
+    def test_vae_best_val_plots_written(self, dataset, tmp_path):
+        from icsg3d_tpu.data.binning import bin_and_encode
+        from icsg3d_tpu.train import create_vae_state, train_vae
+        from icsg3d_tpu.train.vae import prepare_vae_batch
+
+        model, state = create_vae_state(VAE_CFG, TC, jax.random.key(0))
+        _, cond, _ = bin_and_encode(
+            np.asarray(dataset.arrays["target"]), VAE_CFG.cond_bins
+        )
+
+        def gen():
+            from icsg3d_tpu.data import BatchIterator
+
+            it = BatchIterator(
+                dataset, dataset.ids, 4, fields=("density", "coords"),
+                extra={"cond": cond},
+            )
+            for b in it:
+                yield prepare_vae_batch(b, b["cond"])
+
+        import os
+
+        train_vae(
+            model, state, gen, gen, epochs=1,
+            checkpoint_dir=str(tmp_path / "ck"),
+            plot_dir=str(tmp_path / "plots"),
+            mesh=make_mesh(n_data=4), log_fn=lambda *_: None,
+        )
+        assert os.path.exists(tmp_path / "plots" / "reconstructions.png")
+        assert os.path.exists(tmp_path / "plots" / "samples.png")
+        assert os.path.exists(tmp_path / "plots" / "latent_kde.png")
+
+    def test_unet_best_val_plots_written(self, dataset, tmp_path):
+        import os
+
+        from icsg3d_tpu.train import create_unet_state, train_unet
+
+        model, state = create_unet_state(UNET_CFG, TC, jax.random.key(0), grid_d=8)
+        gen = unet_batches(dataset, UNET_CFG.num_classes)
+        train_unet(
+            model, state, gen, gen, epochs=1,
+            checkpoint_dir=str(tmp_path / "ck"),
+            plot_dir=str(tmp_path / "plots"),
+            mesh=make_mesh(n_data=4), log_fn=lambda *_: None,
+        )
+        assert os.path.exists(tmp_path / "plots" / "segmentations_best.png")
+
+
+class TestSamplePrior:
+    def test_sample_prior_shapes(self):
+        from icsg3d_tpu.models.vae import sample_prior
+
+        model, state = create_vae_state(VAE_CFG, TC, jax.random.key(0))
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        z, out = sample_prior(model, variables, jax.random.key(1), n_samples=3, var=0.5)
+        assert np.asarray(z).shape == (3, VAE_CFG.latent_dim)
+        assert np.asarray(out).shape == (3, 8, 8, 8, 4)
+        assert np.isfinite(np.asarray(out)).all()
