@@ -52,9 +52,15 @@ def evaluate_reconstructions(
         unet_model, unet_vars, pipe.binary_threshold
     )
 
+    # True atoms come from the stored site arrays when the dataset carries
+    # them (the reference re-parsed each CIF, eval.py:182-190); otherwise
+    # fall back to watershed on the clean ground-truth grids.
+    has_sites = "sites" in dataset.arrays and "site_z" in dataset.arrays
+    fields = ["density", "coords", "species", "lattice"]
+    if has_sites:
+        fields += ["sites", "site_z"]
     it = BatchIterator(
-        dataset, ids, batch_size,
-        fields=("density", "coords", "species", "lattice"),
+        dataset, ids, batch_size, fields=tuple(fields),
         extra={"cond": conds},
     )
     key = jax.random.key(seed)
@@ -84,23 +90,32 @@ def evaluate_reconstructions(
                     wmin=pipe.watershed_wmin,
                     min_convexity=pipe.watershed_min_convexity,
                 )
-                atoms_t, mu_t = watershed_clustering(
-                    batch["density"][i], S_true, (S_true > 0).astype(int),
-                    max_iters=pipe.watershed_max_iters,
-                    wmin=pipe.watershed_wmin,
-                    min_convexity=pipe.watershed_min_convexity,
-                )
-                dv_true = np.asarray(
-                    to_voxel_params(jnp.asarray(true_l, jnp.float32)[None], grid)
-                )[0]
                 cart_p = np.asarray(
                     voxel_to_cartesian(jnp.asarray(mu_p), l_pred[i], dv_pred[i], grid)
                 ) if len(mu_p) else np.zeros((0, 3))
-                cart_t = np.asarray(
-                    voxel_to_cartesian(jnp.asarray(mu_t), true_l, dv_true, grid)
-                ) if len(mu_t) else np.zeros((0, 3))
+
+                if has_sites:
+                    zt = batch["site_z"][i]
+                    cart_t = batch["sites"][i][zt > 0]
+                    n_true = int((zt > 0).sum())
+                else:
+                    atoms_t, mu_t = watershed_clustering(
+                        batch["density"][i], S_true, (S_true > 0).astype(int),
+                        max_iters=pipe.watershed_max_iters,
+                        wmin=pipe.watershed_wmin,
+                        min_convexity=pipe.watershed_min_convexity,
+                    )
+                    dv_true = np.asarray(
+                        to_voxel_params(
+                            jnp.asarray(true_l, jnp.float32)[None], grid
+                        )
+                    )[0]
+                    cart_t = np.asarray(
+                        voxel_to_cartesian(jnp.asarray(mu_t), true_l, dv_true, grid)
+                    ) if len(mu_t) else np.zeros((0, 3))
+                    n_true = len(atoms_t)
                 emds.append(earth_movers_distance(cart_p, cart_t))
-                datoms.append(abs(len(atoms_p) - len(atoms_t)))
+                datoms.append(abs(len(atoms_p) - n_true))
             except Exception:
                 continue  # robustness parity (eval.py:193-199)
             dlattice.append(np.abs(l_pred[i] - true_l))

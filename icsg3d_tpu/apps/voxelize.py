@@ -89,6 +89,8 @@ def voxelize_structures(
             "species": np.zeros(empty_shape, np.uint8),
             "lattice": np.zeros((0, 6), np.float32),
             "target": np.zeros((0,), np.float32),
+            "sites": np.zeros((0, cfg.site_pad, 3), np.float32),
+            "site_z": np.zeros((0, cfg.site_pad), np.float32),
         }
 
     M = np.concatenate(Ms)
@@ -96,11 +98,14 @@ def voxelize_structures(
     C = np.stack(Cs)
     L = np.stack(Ls)
     T = np.asarray(Ts, np.float32)
+    true_sites = np.stack(sites_b).astype(np.float32)
+    true_z = (np.stack(z_b) * np.stack(mask_b)).astype(np.float32)
 
     if n_rot:
         rng = np.random.default_rng(seed + 1)
         aM, aS, aC = [M], [S], [C]
         aL, aT = [L], [T]
+        aSites, aZ = [true_sites], [true_z]
         all_ids = list(out_ids)
         for i in range(len(out_ids)):
             for r in range(n_rot):
@@ -112,13 +117,17 @@ def voxelize_structures(
                     c = np.rot90(c, 1, axes=ax)
                 aM.append(m[None]); aS.append(s_[None]); aC.append(c[None])
                 aL.append(L[i][None]); aT.append(T[i][None])
+                # unrotated-frame ground truth (eval splits use n_rot=0)
+                aSites.append(true_sites[i][None]); aZ.append(true_z[i][None])
                 all_ids.append(f"{out_ids[i]}_rot_{r}")
         M, S, C = np.concatenate(aM), np.concatenate(aS), np.concatenate(aC)
         L, T = np.concatenate(aL), np.concatenate(aT)
+        true_sites = np.concatenate(aSites); true_z = np.concatenate(aZ)
         out_ids = all_ids
 
     return out_ids, {
         "density": M, "coords": C, "species": S, "lattice": L, "target": T,
+        "sites": true_sites, "site_z": true_z,
     }
 
 

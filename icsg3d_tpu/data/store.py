@@ -14,6 +14,12 @@ Fields:
     species   (N, d, d, d)    uint8     atomic-number labels (0=background)
     lattice   (N, 6)          float32   a, b, c, alpha, beta, gamma
     target    (N,)            float32   conditioning property value
+    sites     (N, P, 3)       float32   true cartesian site coords (padded)
+    site_z    (N, P)          float32   true atomic numbers (0 = padding)
+
+The last two are optional ground-truth fields: evaluation compares
+extracted atoms against them directly (the reference re-parsed the CIF per
+sample for the same purpose, eval.py:182-190).
 """
 
 from __future__ import annotations
@@ -27,7 +33,7 @@ from typing import Dict, Iterator, List, Optional, Sequence
 import jax
 import numpy as np
 
-FIELDS = ("density", "coords", "species", "lattice", "target")
+FIELDS = ("density", "coords", "species", "lattice", "target", "sites", "site_z")
 
 
 class GridDataset:

@@ -111,6 +111,11 @@ def build_dataset(
         sites_b.append(arr[0]); z_b.append(arr[1]); sig_b.append(arr[2])
         mask_b.append(arr[3]); abc_b.append(np.array(s.lattice.abc, np.float32))
 
+    # ground-truth site fields for evaluation (z=0 marks padding); the
+    # voxelizer's sigma column is not stored — eval needs positions+species
+    true_sites = np.stack(sites_b)
+    true_z = np.stack(z_b) * np.stack(mask_b)
+
     M, S = voxelize_batch(
         jnp.asarray(np.stack(sites_b)),
         jnp.asarray(np.stack(z_b)),
@@ -137,6 +142,7 @@ def build_dataset(
         all_M, all_S, all_C = [M], [S], [coords]
         all_ids = list(ids)
         all_lat, all_tgt = [lattice], [target]
+        all_sites, all_z = [true_sites], [true_z]
         for i in range(n):
             for r in range(n_rot):
                 m, s_, c = M[i], S[i], coords[i]
@@ -148,9 +154,13 @@ def build_dataset(
                 all_M.append(m[None]); all_S.append(s_[None]); all_C.append(c[None])
                 all_ids.append(f"{ids[i]}_rot_{r}")
                 all_lat.append(lattice[i][None]); all_tgt.append(target[i][None])
+                # site ground truth is stored in the UNROTATED frame; the
+                # evaluation split uses n_rot=0 (eval.py:130-142 parity)
+                all_sites.append(true_sites[i][None]); all_z.append(true_z[i][None])
         M = np.concatenate(all_M); S = np.concatenate(all_S)
         coords = np.concatenate(all_C)
         lattice = np.concatenate(all_lat); target = np.concatenate(all_tgt)
+        true_sites = np.concatenate(all_sites); true_z = np.concatenate(all_z)
         ids = all_ids
 
     return GridDataset.write(
@@ -162,5 +172,7 @@ def build_dataset(
             "species": S,
             "lattice": lattice,
             "target": target,
+            "sites": true_sites.astype(np.float32),
+            "site_z": true_z.astype(np.float32),
         },
     )
