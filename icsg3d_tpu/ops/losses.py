@@ -27,6 +27,19 @@ def weighted_categorical_crossentropy(logits, labels_onehot, class_weights):
     return jnp.mean(per_voxel, axis=tuple(range(1, per_voxel.ndim)))
 
 
+def weighted_categorical_crossentropy_from_labels(logits, labels, class_weights):
+    """Integer-label form of weighted_categorical_crossentropy: the one-hot
+    contraction collapses to a gather of the true class's log-prob and
+    weight, so the (B, d^3, C) one-hot never exists.  Same clipping/mean
+    semantics; returns (B,)."""
+    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+    probs = jnp.clip(probs, KERAS_EPSILON, 1.0 - KERAS_EPSILON)
+    p_true = jnp.take_along_axis(probs, labels[..., None], axis=-1)[..., 0]
+    w = jnp.asarray(class_weights, dtype=jnp.float32)[labels]
+    per_voxel = -jnp.log(p_true) * w
+    return jnp.mean(per_voxel, axis=tuple(range(1, per_voxel.ndim)))
+
+
 def binary_crossentropy_from_logits(logits, targets):
     """Keras binary_crossentropy (mean over all non-batch axes), stable form.
 

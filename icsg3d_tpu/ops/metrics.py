@@ -43,3 +43,38 @@ def f1_score(y_true, y_pred):
     p = precision(y_true, y_pred)
     r = recall(y_true, y_pred)
     return 2.0 * p * r / (p + r + KERAS_EPSILON)
+
+
+# -- integer-label forms ------------------------------------------------------
+# Mathematically identical to the one-hot forms above (y_true one-hot rows
+# have exactly one 1), but never materialize the (B, d^3, C) one-hot — the
+# hot path ships int32 labels to the device instead of 95x f32 planes.
+
+
+def _p_true(labels, probs):
+    return jnp.take_along_axis(probs, labels[..., None], axis=-1)[..., 0]
+
+
+def recall_from_labels(labels, probs):
+    tp = jnp.sum(jnp.round(_p_true(labels, probs)))
+    possible = jnp.asarray(labels.size, jnp.float32)
+    return tp / (possible + KERAS_EPSILON)
+
+
+def weighted_recall_from_labels(labels, probs):
+    fg = labels != 0
+    tp = jnp.sum(jnp.round(_p_true(labels, probs)) * fg)
+    possible = jnp.sum(fg.astype(jnp.float32))
+    return tp / (possible + KERAS_EPSILON)
+
+
+def precision_from_labels(labels, probs):
+    tp = jnp.sum(jnp.round(_p_true(labels, probs)))
+    predicted = jnp.sum(jnp.round(jnp.clip(probs, 0.0, 1.0)))
+    return tp / (predicted + KERAS_EPSILON)
+
+
+def f1_score_from_labels(labels, probs):
+    p = precision_from_labels(labels, probs)
+    r = recall_from_labels(labels, probs)
+    return 2.0 * p * r / (p + r + KERAS_EPSILON)

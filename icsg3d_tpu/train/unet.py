@@ -22,7 +22,6 @@ import numpy as np
 import optax
 
 from icsg3d_tpu.config import TrainConfig, UNetConfig
-from icsg3d_tpu.data.binning import one_hot
 from icsg3d_tpu.models.unet import UNet3D
 from icsg3d_tpu.ops import losses, metrics
 from icsg3d_tpu.parallel import make_mesh, shard_batch
@@ -44,7 +43,13 @@ def create_unet_state(
 
 
 def _unet_losses(model, params, batch_stats, batch, class_weights, train: bool):
-    """Shared forward + loss for train/eval."""
+    """Shared forward + loss for train/eval.
+
+    Consumes integer species labels (batch["labels"]) — the one-hot and the
+    binary occupancy derive on device, so the host->device transfer is int32
+    labels (1/95th of the one-hot float planes the reference generators
+    shipped per batch, unet/data.py:79-89).
+    """
     variables = {"params": params, "batch_stats": batch_stats}
     if train:
         (soft, sig), new_state = model.apply(
@@ -54,10 +59,12 @@ def _unet_losses(model, params, batch_stats, batch, class_weights, train: bool):
     else:
         soft, sig = model.apply(variables, batch["x"], train=False)
         new_bs = batch_stats
-    y_soft = batch["y_soft"]
-    y_sig = batch["y_sig"]
+    labels = batch["labels"]
+    y_sig = (labels != 0).astype(jnp.float32)[..., None]
     l_soft = jnp.mean(
-        losses.weighted_categorical_crossentropy(soft, y_soft, class_weights)
+        losses.weighted_categorical_crossentropy_from_labels(
+            soft, labels, class_weights
+        )
     )
     l_sig = jnp.mean(losses.binary_crossentropy_from_logits(sig, y_sig))
     loss = l_soft + l_sig
@@ -66,10 +73,8 @@ def _unet_losses(model, params, batch_stats, batch, class_weights, train: bool):
         "loss": loss,
         "loss_soft": l_soft,
         "loss_sig": l_sig,
-        "f1": metrics.f1_score(y_soft, probs),
-        "weighted_recall": metrics.weighted_recall(
-            y_soft, probs, y_soft.shape[-1]
-        ),
+        "f1": metrics.f1_score_from_labels(labels, probs),
+        "weighted_recall": metrics.weighted_recall_from_labels(labels, probs),
     }
     return loss, (mets, new_bs)
 
@@ -104,16 +109,13 @@ def prepare_unet_batch(batch: Dict[str, np.ndarray], num_classes: int):
     """Raw store fields -> model inputs (host side, cheap).
 
     x = density channel + coordinate channels (unet/data.py:90-100);
-    y_soft = one-hot species; y_sig = binary occupancy (unet/data.py:79-89).
+    labels = integer species (the one-hot and the binary occupancy targets
+    derive on device inside the jitted step).
     """
     M = batch["density"][..., None].astype(np.float32)
     x = np.concatenate([M, batch["coords"].astype(np.float32)], axis=-1)
-    s = batch["species"].astype(np.int32)
-    return {
-        "x": x,
-        "y_soft": one_hot(s, num_classes),
-        "y_sig": (s != 0).astype(np.float32)[..., None],
-    }
+    s = np.minimum(batch["species"].astype(np.int32), num_classes - 1)
+    return {"x": x, "labels": s}
 
 
 def _mean_metrics(history):
@@ -131,11 +133,11 @@ def _save_best_plots(model, state, batch, plot_dir: str):
     variables = {"params": state.params, "batch_stats": state.batch_stats}
     soft, sig = model.apply(variables, batch["x"], train=False)
     pred = np.asarray(jnp.argmax(soft, axis=-1), dtype=np.float32)[..., None]
-    true = np.asarray(jnp.argmax(batch["y_soft"], axis=-1), np.float32)[..., None]
+    true = np.asarray(batch["labels"], np.float32)[..., None]
     n = min(4, len(pred))
     viz.plot_real_vs_pred(true[:n], pred[:n], f"{plot_dir}/segmentations_best.png")
     viz.plot_real_vs_pred(
-        np.asarray(batch["y_sig"][:n]),
+        (true[:n] != 0).astype(np.float32),
         np.asarray(jax.nn.sigmoid(sig[:n])),
         f"{plot_dir}/segmentations_binary_best.png",
     )

@@ -270,3 +270,39 @@ class TestCGCNN:
         grads = jax.grad(loss_fn)(variables["params"])
         leaves = jax.tree_util.tree_leaves(grads)
         assert any(np.abs(np.asarray(g)).max() > 0 for g in leaves)
+
+
+class TestLabelFormEquivalence:
+    """The integer-label loss/metric forms must equal the one-hot forms."""
+
+    def test_wcce_label_form_matches_onehot(self, rng):
+        from icsg3d_tpu.ops.losses import (
+            weighted_categorical_crossentropy,
+            weighted_categorical_crossentropy_from_labels,
+        )
+
+        logits = jnp.asarray(rng.normal(size=(2, 4, 4, 4, 7)).astype(np.float32))
+        labels = jnp.asarray(rng.integers(0, 7, size=(2, 4, 4, 4)))
+        w = jnp.asarray(rng.uniform(0, 2, 7).astype(np.float32))
+        onehot = jax.nn.one_hot(labels, 7)
+        a = weighted_categorical_crossentropy(logits, onehot, w)
+        b = weighted_categorical_crossentropy_from_labels(logits, labels, w)
+        assert np.allclose(np.asarray(a), np.asarray(b), rtol=1e-5)
+
+    def test_metrics_label_forms_match(self, rng):
+        from icsg3d_tpu.ops import metrics as m
+
+        probs = jax.nn.softmax(
+            jnp.asarray(rng.normal(size=(2, 4, 4, 4, 7)).astype(np.float32)) * 3
+        )
+        labels = jnp.asarray(rng.integers(0, 7, size=(2, 4, 4, 4)))
+        onehot = jax.nn.one_hot(labels, 7)
+        assert float(m.f1_score(onehot, probs)) == pytest.approx(
+            float(m.f1_score_from_labels(labels, probs)), rel=1e-5
+        )
+        assert float(m.weighted_recall(onehot, probs, 7)) == pytest.approx(
+            float(m.weighted_recall_from_labels(labels, probs)), rel=1e-5
+        )
+        assert float(m.precision(onehot, probs)) == pytest.approx(
+            float(m.precision_from_labels(labels, probs)), rel=1e-5
+        )
