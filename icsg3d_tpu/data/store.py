@@ -135,7 +135,12 @@ def prefetch_to_device(iterator, size: int = 2, devices=None):
     Stages `size` batches ahead on a background thread so jax.device_put
     (and the H2D DMA behind it) overlaps with the training step — the
     TPU-native replacement for Keras fit_generator's worker threads
-    (unet/unet.py:370-377).
+    (unet/unet.py:370-377).  ``devices`` may be a Sharding (per-leaf
+    device_put target) or None for the default device.
+
+    Measured on the tunneled v5e: H2D of a 10 MB batch costs ~270 ms while
+    the DFC-VAE step is ~38 ms — without this overlap the train loop is
+    transfer-bound.
     """
     q: "queue.Queue" = queue.Queue(maxsize=size)
     sentinel = object()
@@ -143,7 +148,11 @@ def prefetch_to_device(iterator, size: int = 2, devices=None):
     def producer():
         try:
             for batch in iterator:
-                q.put(jax.device_put(batch, devices))
+                q.put(
+                    jax.tree_util.tree_map(
+                        lambda x: jax.device_put(x, devices), batch
+                    )
+                )
         finally:
             q.put(sentinel)
 

@@ -24,7 +24,8 @@ import optax
 from icsg3d_tpu.config import TrainConfig, UNetConfig
 from icsg3d_tpu.models.unet import UNet3D
 from icsg3d_tpu.ops import losses, metrics
-from icsg3d_tpu.parallel import make_mesh, shard_batch
+from icsg3d_tpu.data.store import prefetch_to_device
+from icsg3d_tpu.parallel import batch_sharding, make_mesh, shard_batch
 from icsg3d_tpu.train.checkpoints import CheckpointManager
 from icsg3d_tpu.train.state import ModelState
 
@@ -168,13 +169,14 @@ def train_unet(
     last_val_batch = None
     for epoch in range(epochs):
         t0 = time.time()
+        sharding = batch_sharding(mesh)
         train_mets = []
-        for b in train_batches():
-            state, m = train_step(state, shard_batch(b, mesh))
+        for b in prefetch_to_device(train_batches(), devices=sharding):
+            state, m = train_step(state, b)
             train_mets.append(m)
         val_mets = []
-        for b in val_batches():
-            val_mets.append(eval_step(state, shard_batch(b, mesh)))
+        for b in prefetch_to_device(val_batches(), devices=sharding):
+            val_mets.append(eval_step(state, b))
             last_val_batch = b
         tm = _mean_metrics([jax.device_get(m) for m in train_mets])
         vm = _mean_metrics([jax.device_get(m) for m in val_mets])

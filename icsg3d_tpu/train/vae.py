@@ -22,7 +22,8 @@ from icsg3d_tpu.config import TrainConfig, VAEConfig
 from icsg3d_tpu.models.unet import UNet3D
 from icsg3d_tpu.models.vae import ConditionalDFCVAE
 from icsg3d_tpu.ops import losses
-from icsg3d_tpu.parallel import make_mesh, shard_batch
+from icsg3d_tpu.data.store import prefetch_to_device
+from icsg3d_tpu.parallel import batch_sharding, make_mesh, shard_batch
 from icsg3d_tpu.train.checkpoints import CheckpointManager
 from icsg3d_tpu.train.state import ModelState
 
@@ -197,15 +198,16 @@ def train_vae(
     last_val_batch = None
     for epoch in range(epochs):
         t0 = time.time()
+        sharding = batch_sharding(mesh)
         train_mets = []
-        for b in train_batches():
+        for b in prefetch_to_device(train_batches(), devices=sharding):
             key, sub = jax.random.split(key)
-            state, m = train_step(state, shard_batch(b, mesh), sub)
+            state, m = train_step(state, b, sub)
             train_mets.append(m)
         val_mets = []
-        for b in val_batches():
+        for b in prefetch_to_device(val_batches(), devices=sharding):
             key, sub = jax.random.split(key)
-            val_mets.append(eval_step(state, shard_batch(b, mesh), sub))
+            val_mets.append(eval_step(state, b, sub))
             last_val_batch = b
         tm = _mean_metrics([jax.device_get(m) for m in train_mets])
         vm = _mean_metrics([jax.device_get(m) for m in val_mets])
