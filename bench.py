@@ -111,6 +111,40 @@ def main():
         else None
     )
 
+    # Secondary headline metric: end-to-end generation throughput through
+    # the fused decode -> segment -> extract -> coordinates program
+    # (BASELINE: "end-to-end generated samples/sec").
+    gen_rate = None
+    if os.environ.get("BENCH_SKIP_GENERATE") != "1":
+        try:
+            from icsg3d_tpu.apps.generate import fused_generate_fn
+            from icsg3d_tpu.config import PipelineConfig
+
+            pipe = PipelineConfig(grid=GridSpec(d=d))
+            gen_step = fused_generate_fn(
+                vae, {"params": state.params, "batch_stats": state.batch_stats},
+                unet,
+                {"params": ustate.params, "batch_stats": ustate.batch_stats},
+                pipe, max_atoms=64,
+            )
+            z = jnp.asarray(
+                rng.normal(size=(batch_size, vae.cfg.latent_dim)).astype(
+                    np.float32
+                )
+            )
+            cond = jnp.asarray(
+                np.eye(10, dtype=np.float32)[rng.integers(0, 10, batch_size)]
+            )
+            out = gen_step(z, cond)
+            jax.block_until_ready(out[0])
+            t0 = time.perf_counter()
+            for _ in range(10):
+                out = gen_step(z, cond)
+            jax.block_until_ready(out[0])
+            gen_rate = batch_size * 10 / (time.perf_counter() - t0) / n_chips
+        except Exception:
+            gen_rate = None
+
     print(
         json.dumps(
             {
@@ -127,6 +161,9 @@ def main():
                     "step_ms": round(1000 * dt / n_steps, 2),
                     "mfu": round(mfu, 4) if mfu is not None else None,
                     "flops_per_step": flops_per_step,
+                    "gen_samples_per_sec_per_chip": (
+                        round(gen_rate, 2) if gen_rate else None
+                    ),
                     "loss": float(jax.device_get(mets["loss"])),
                     "platform": jax.devices()[0].platform,
                 },
