@@ -3,8 +3,7 @@ batched inference functions."""
 
 from __future__ import annotations
 
-import functools
-from typing import Dict, Optional, Sequence, Tuple
+from typing import Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

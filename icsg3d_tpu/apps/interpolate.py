@@ -8,8 +8,6 @@ from __future__ import annotations
 
 import argparse
 import os
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -71,6 +71,8 @@ def main(argv=None):
     p.add_argument("--lr", type=float, default=1e-3)
     p.add_argument("--split-frac", type=float, default=0.8)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--resume", action="store_true",
+                   help="resume from the latest checkpoint in --ckpt")
     p.add_argument("--ckpt", default="checkpoints/cgcnn")
     args = p.parse_args(argv)
 
@@ -104,6 +106,13 @@ def main(argv=None):
 
     tc = TrainConfig(batch_size=args.batch_size, learning_rate=args.lr)
     model, state = create_cgcnn_state(cfg, tc, jax.random.key(args.seed))
+    if args.resume:
+        from icsg3d_tpu.train.checkpoints import CheckpointManager
+
+        _ck = CheckpointManager(args.ckpt)
+        if _ck.has("latest"):
+            state = _ck.restore(state, "latest")
+            print(f"resumed from {args.ckpt}/latest at step {int(state.step)}")
     state, history = train_cgcnn(
         model, state, batches(train_idx), batches(val_idx),
         epochs=args.epochs, checkpoint_dir=args.ckpt,

@@ -11,7 +11,7 @@ import os
 import jax
 import numpy as np
 
-from icsg3d_tpu.config import GridSpec, TrainConfig, UNetConfig
+from icsg3d_tpu.config import TrainConfig, UNetConfig
 from icsg3d_tpu.data.class_weights import inverse_frequency_weights
 from icsg3d_tpu.data.splits import data_split
 from icsg3d_tpu.data.store import BatchIterator, GridDataset
@@ -31,6 +31,8 @@ def main(argv=None):
     p.add_argument("--split-frac", type=float, default=0.8)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--no-class-weights", action="store_true")
+    p.add_argument("--resume", action="store_true",
+                   help="resume from the latest checkpoint in --ckpt")
     p.add_argument("--ckpt", default="checkpoints/unet")
     args = p.parse_args(argv)
 
@@ -43,6 +45,13 @@ def main(argv=None):
         batch_size=args.batch_size, learning_rate=args.lr, epochs=args.epochs
     )
     model, state = create_unet_state(cfg, tc, jax.random.key(args.seed), args.d)
+    if args.resume:
+        from icsg3d_tpu.train.checkpoints import CheckpointManager
+
+        _ck = CheckpointManager(args.ckpt)
+        if _ck.has("latest"):
+            state = _ck.restore(state, "latest")
+            print(f"resumed from {args.ckpt}/latest at step {int(state.step)}")
 
     # inverse-frequency weights over the TRAINING split only, zero class
     # zeroed (train_unet.py:114-119)

@@ -37,6 +37,8 @@ def main(argv=None):
     p.add_argument("--num-classes", type=int, default=95)
     p.add_argument("--nrot", type=int, default=10)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--resume", action="store_true",
+                   help="resume from the latest checkpoint in --ckpt")
     p.add_argument("--ckpt", default="checkpoints/vae")
     args = p.parse_args(argv)
 
@@ -54,6 +56,13 @@ def main(argv=None):
         batch_size=args.batch_size, learning_rate=args.lr, epochs=args.epochs
     )
     model, state = create_vae_state(cfg, tc, jax.random.key(args.seed))
+    if args.resume:
+        from icsg3d_tpu.train.checkpoints import CheckpointManager
+
+        _ck = CheckpointManager(args.ckpt)
+        if _ck.has("latest"):
+            state = _ck.restore(state, "latest")
+            print(f"resumed from {args.ckpt}/latest at step {int(state.step)}")
 
     unet = unet_vars = None
     if args.unet_ckpt:

@@ -11,7 +11,7 @@ hardcodes the resolution.
 from __future__ import annotations
 
 import dataclasses
-from typing import Sequence, Tuple
+from typing import Tuple
 
 import jax.numpy as jnp
 

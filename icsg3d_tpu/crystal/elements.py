@@ -12,7 +12,7 @@ did (mean ionic radius NaN -> 1.20 A, utils.py:74).
 
 from __future__ import annotations
 
-from typing import Dict, Optional
+from typing import Dict
 
 import numpy as np
 

@@ -11,7 +11,7 @@ Keras-parity notes (SURVEY.md section 7 hard parts):
 
 from __future__ import annotations
 
-from typing import Any, Callable, Optional, Sequence, Tuple
+from typing import Any, Callable, Sequence, Tuple
 
 import jax.numpy as jnp
 from flax import linen as nn

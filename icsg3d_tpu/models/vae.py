@@ -22,8 +22,6 @@ side-channel; grid geometry comes from GridSpec instead of hardcoded 32s.
 
 from __future__ import annotations
 
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 from flax import linen as nn

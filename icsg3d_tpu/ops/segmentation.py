@@ -109,7 +109,7 @@ def convexity(mask: np.ndarray) -> float:
     if n <= 4:
         return 1.0  # too few voxels to be non-convex
     try:
-        from scipy.spatial import Delaunay, QhullError
+        from scipy.spatial import Delaunay
 
         hull = Delaunay(pts)
     except Exception:

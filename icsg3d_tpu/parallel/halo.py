@@ -14,11 +14,9 @@ the halo-padded slab equals the global SAME conv restricted to the shard.
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from icsg3d_tpu.parallel import mesh as mesh_lib
 

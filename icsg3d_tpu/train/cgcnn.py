@@ -7,7 +7,7 @@ best-val-MAE checkpointing.
 from __future__ import annotations
 
 import time
-from typing import Dict, Iterable, Optional, Tuple
+from typing import Iterable, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -18,7 +18,7 @@ from icsg3d_tpu.config import CGCNNConfig, TrainConfig
 from icsg3d_tpu.models.cgcnn import CGCNN
 from icsg3d_tpu.ops import losses
 from icsg3d_tpu.data.store import prefetch_to_device
-from icsg3d_tpu.parallel import batch_sharding, make_mesh, shard_batch
+from icsg3d_tpu.parallel import batch_sharding, make_mesh
 from icsg3d_tpu.train.checkpoints import CheckpointManager
 from icsg3d_tpu.train.state import ModelState
 
@@ -65,6 +65,8 @@ def make_cgcnn_steps(model: CGCNN):
 
 
 def _mean_metrics(history):
+    if not history:
+        return {}
     return {k: float(np.mean([h[k] for h in history])) for k in history[0]}
 
 
@@ -94,7 +96,7 @@ def train_cgcnn(
             for b in prefetch_to_device(val_batches(), devices=sharding)
         ]
         tm = _mean_metrics([jax.device_get(m) for m in train_mets])
-        vm = _mean_metrics([jax.device_get(m) for m in val_mets])
+        vm = _mean_metrics([jax.device_get(m) for m in val_mets]) or tm
         history.append({"train": tm, "val": vm, "time": time.time() - t0})
         log_fn(
             f"epoch {epoch}: time {history[-1]['time']:.2f}s "

@@ -25,7 +25,7 @@ from icsg3d_tpu.config import TrainConfig, UNetConfig
 from icsg3d_tpu.models.unet import UNet3D
 from icsg3d_tpu.ops import losses, metrics
 from icsg3d_tpu.data.store import prefetch_to_device
-from icsg3d_tpu.parallel import batch_sharding, make_mesh, shard_batch
+from icsg3d_tpu.parallel import batch_sharding, make_mesh
 from icsg3d_tpu.train.checkpoints import CheckpointManager
 from icsg3d_tpu.train.state import ModelState
 
@@ -120,6 +120,8 @@ def prepare_unet_batch(batch: Dict[str, np.ndarray], num_classes: int):
 
 
 def _mean_metrics(history):
+    if not history:
+        return {}
     return {k: float(np.mean([h[k] for h in history])) for k in history[0]}
 
 
@@ -179,7 +181,7 @@ def train_unet(
             val_mets.append(eval_step(state, b))
             last_val_batch = b
         tm = _mean_metrics([jax.device_get(m) for m in train_mets])
-        vm = _mean_metrics([jax.device_get(m) for m in val_mets])
+        vm = _mean_metrics([jax.device_get(m) for m in val_mets]) or tm
         history.append({"train": tm, "val": vm, "time": time.time() - t0})
         log_fn(
             f"epoch {epoch}: time {history[-1]['time']:.2f}s "

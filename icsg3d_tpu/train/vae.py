@@ -23,7 +23,7 @@ from icsg3d_tpu.models.unet import UNet3D
 from icsg3d_tpu.models.vae import ConditionalDFCVAE
 from icsg3d_tpu.ops import losses
 from icsg3d_tpu.data.store import prefetch_to_device
-from icsg3d_tpu.parallel import batch_sharding, make_mesh, shard_batch
+from icsg3d_tpu.parallel import batch_sharding, make_mesh
 from icsg3d_tpu.train.checkpoints import CheckpointManager
 from icsg3d_tpu.train.state import ModelState
 
@@ -145,6 +145,8 @@ def prepare_vae_batch(batch: Dict[str, np.ndarray], cond: np.ndarray):
 
 
 def _mean_metrics(history):
+    if not history:
+        return {}
     return {k: float(np.mean([h[k] for h in history])) for k in history[0]}
 
 
@@ -210,10 +212,14 @@ def train_vae(
             val_mets.append(eval_step(state, b, sub))
             last_val_batch = b
         tm = _mean_metrics([jax.device_get(m) for m in train_mets])
-        vm = _mean_metrics([jax.device_get(m) for m in val_mets])
-        history.append({"train": tm, "val": vm, "time": time.time() - t0})
+        vm = _mean_metrics([jax.device_get(m) for m in val_mets]) or tm
+        epoch_time = time.time() - t0
+        n_steps = len(train_mets)
+        history.append({"train": tm, "val": vm, "time": epoch_time,
+                        "steps": n_steps})
         log_fn(
-            f"epoch {epoch}: time {history[-1]['time']:.2f}s "
+            f"epoch {epoch}: time {epoch_time:.2f}s "
+            f"({n_steps / max(epoch_time, 1e-9):.1f} steps/s) "
             f"train loss {tm['loss']:.4f} mse {tm['mse']:.4f} "
             f"pm {tm['perceptual']:.4f} kld {tm['kld']:.2f} | "
             f"val loss {vm['loss']:.4f}"
