@@ -252,3 +252,22 @@ class TestFusedGenerate:
             assert "lattice" in r
             if r.get("structure") is not None:
                 assert len(r["atoms"]) == len(r["coords"])
+
+
+class TestPredictApp:
+    def test_predict_from_cifs(self, tmp_path):
+        from icsg3d_tpu.apps.predict import predict_from_cifs
+
+        structures = random_structures(2, seed=5)
+        paths = []
+        for i, s in enumerate(structures):
+            p = str(tmp_path / f"s{i}.cif")
+            write_cif(s, p)
+            paths.append(p)
+        # plus one unparseable file
+        bad = str(tmp_path / "bad.cif")
+        open(bad, "w").write("not a cif")
+        records = predict_from_cifs(paths + [bad], {"fe": None})
+        assert len(records) == 3
+        assert np.isfinite(records[0]["properties"]["fe"])
+        assert "error" in records[2]
