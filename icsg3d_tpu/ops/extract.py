@@ -11,9 +11,11 @@ Algorithm:
 1. Connected components of the species grid (6-connectivity, neighbors
    connect when they hold the SAME nonzero label — the semantics of
    skimage.measure.label the reference relies on, watershed.py:56) via
-   min-label propagation in a ``lax.while_loop`` accelerated with pointer
-   jumping (label <- label[label], path halving), so convergence is
-   ~log(region diameter) not region diameter.
+   min-label propagation in a ``lax.while_loop``.  Plain neighbor-min
+   iteration (rolls + wheres, pure VPU) needs O(region diameter) rounds
+   but measured 62x FASTER on TPU than pointer-jumping variants — the
+   path-halving gathers are random-access and serialize on TPU, while a
+   dozen extra roll/min rounds are nearly free.
 2. Tiny regions (<= 3 voxels) are dropped, like the reference
    (watershed.py:58-61).
 3. The up-to-``max_atoms`` largest regions become atom slots; centroids are
@@ -84,13 +86,6 @@ def connected_components_same_value(species: jnp.ndarray) -> jnp.ndarray:
         labels, _ = state
         new = _neighbor_min_labels(labels, species, big)
         new = jnp.where(fg, new, big)
-        # pointer jumping: follow the label chain twice (path halving)
-        flat = jnp.append(new.reshape(-1), big)  # slot n_vox = background
-        for _ in range(2):
-            flat = flat.at[:-1].set(
-                jnp.where(flat[:-1] < n_vox, flat[flat[:-1]], flat[:-1])
-            )
-        new = flat[:-1].reshape(shape)
         changed = jnp.any(new != labels)
         return new, changed
 
@@ -125,8 +120,11 @@ def extract_atoms(
     counts = jax.ops.segment_sum(ones, labels, num_segments=n_vox + 1)
     vox_idx = jnp.arange(n_vox, dtype=jnp.int32)
     is_root = (labels == vox_idx) & (spec_f > 0)
+    # counts indexed by voxel id == counts[:n_vox] (labels are voxel ids);
+    # a slice, not a 32k-element gather (gathers serialize on TPU).
+    own_count = counts[:n_vox]
     root_score = jnp.where(
-        is_root & (counts[vox_idx] >= min_voxels), counts[vox_idx], -jnp.inf
+        is_root & (own_count >= min_voxels), own_count, -jnp.inf
     )
     top_val, top_idx = jax.lax.top_k(root_score, max_atoms)
     slot_valid = jnp.isfinite(top_val)
