@@ -117,6 +117,10 @@ def main(argv=None):
         model, state, batches(train_idx), batches(val_idx),
         epochs=args.epochs, checkpoint_dir=args.ckpt,
     )
+    import json as _json
+
+    with open(os.path.join(args.ckpt, "history.json"), "w") as f:
+        _json.dump(history, f, indent=1)
     print(f"done; best val MAE "
           f"{min(h['val']['mae'] for h in history):.4f} -> {args.ckpt}")
 

@@ -93,6 +93,10 @@ def main(argv=None):
         [h["val"]["loss"] for h in history],
         os.path.join(args.ckpt, "loss.png"),
     )
+    import json as _json
+
+    with open(os.path.join(args.ckpt, "history.json"), "w") as f:
+        _json.dump(history, f, indent=1)
     print(f"done; best val loss "
           f"{min(h['val']['loss'] for h in history):.4f} -> {args.ckpt}")
 
