@@ -116,17 +116,25 @@ def build_dataset(
     true_sites = np.stack(sites_b)
     true_z = np.stack(z_b) * np.stack(mask_b)
 
-    M, S = voxelize_batch(
-        jnp.asarray(np.stack(sites_b)),
-        jnp.asarray(np.stack(z_b)),
-        jnp.asarray(np.stack(sig_b)),
-        jnp.asarray(np.stack(mask_b)),
-        jnp.asarray(np.stack(abc_b)),
-        grid,
-        label_frac=cfg.label_frac,
-    )
-    M = np.asarray(M, dtype=np.float32)
-    S = np.asarray(S).astype(np.uint8)
+    # Voxelize in fixed-size chunks: the (chunk, d^3, site_pad) distance
+    # intermediates are what bound device memory, not the outputs.
+    chunk = 256
+    Ms, Ss = [], []
+    for c0 in range(0, n, chunk):
+        sl = slice(c0, c0 + chunk)
+        Mc, Sc = voxelize_batch(
+            jnp.asarray(np.stack(sites_b[sl])),
+            jnp.asarray(np.stack(z_b[sl])),
+            jnp.asarray(np.stack(sig_b[sl])),
+            jnp.asarray(np.stack(mask_b[sl])),
+            jnp.asarray(np.stack(abc_b[sl])),
+            grid,
+            label_frac=cfg.label_frac,
+        )
+        Ms.append(np.asarray(Mc, dtype=np.float32))
+        Ss.append(np.asarray(Sc).astype(np.uint8))
+    M = np.concatenate(Ms)
+    S = np.concatenate(Ss)
     coords = np.stack(
         [np.asarray(coordinate_grid(abc, grid), np.float32) for abc in abc_b]
     )

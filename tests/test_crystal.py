@@ -221,3 +221,63 @@ class TestNeighbors:
         for site_nbrs in nbrs:
             d = [x[0] for x in site_nbrs]
             assert d == sorted(d)
+
+
+class TestCIFEdgeCases:
+    def test_uncertainty_suffixes(self):
+        """CIF numbers like 1.23(4) carry uncertainty suffixes."""
+        from icsg3d_tpu.crystal.cif import _parse_number
+
+        assert _parse_number("1.23(4)") == 1.23
+        assert _parse_number("-0.5(12)") == -0.5
+        assert _parse_number("4.2e-1(3)") == 0.42
+
+    def test_cif_with_uncertainties_parses(self):
+        cif = """
+data_test
+_cell_length_a 4.20(3)
+_cell_length_b 4.20(3)
+_cell_length_c 4.20(3)
+_cell_angle_alpha 90.0
+_cell_angle_beta 90.0
+_cell_angle_gamma 90.0
+loop_
+ _atom_site_type_symbol
+ _atom_site_fract_x
+ _atom_site_fract_y
+ _atom_site_fract_z
+ _atom_site_occupancy
+ Na 0.00(1) 0.0 0.0 1.0
+ Cl 0.50(2) 0.5 0.5 1.0
+"""
+        from icsg3d_tpu.crystal.cif import parse_cif
+
+        s = parse_cif(cif)
+        assert len(s) == 2
+        assert abs(s.lattice.a - 4.2) < 1e-6
+
+    def test_partial_occupancy_ordering(self):
+        cif = """
+data_test
+_cell_length_a 4.0
+_cell_length_b 4.0
+_cell_length_c 4.0
+_cell_angle_alpha 90.0
+_cell_angle_beta 90.0
+_cell_angle_gamma 90.0
+loop_
+ _atom_site_type_symbol
+ _atom_site_fract_x
+ _atom_site_fract_y
+ _atom_site_fract_z
+ _atom_site_occupancy
+ Na 0.0 0.0 0.0 0.7
+ K  0.0 0.0 0.0 0.3
+ Cl 0.5 0.5 0.5 1.0
+"""
+        from icsg3d_tpu.crystal.cif import parse_cif
+
+        s = parse_cif(cif)
+        ordered = s.order_sites()
+        # only the majority-occupancy Na and the full Cl survive ordering
+        assert sorted(site.symbol for site in ordered.sites) == ["Cl", "Na"]

@@ -199,3 +199,30 @@ class TestRotations:
             M2, _, _ = random_rotation_3d(jax.random.PRNGKey(seed), M, S, p)
             outs.add(float(jnp.sum(M2 * jnp.arange(8.0 ** 3).reshape(8, 8, 8))))
         assert len(outs) > 1
+
+
+class TestNaNRobustness:
+    def test_voxelizer_finite_on_valid_input(self, rng):
+        """NaN never leaks from padding rows (sigma forced positive)."""
+        import jax.numpy as jnp
+        from icsg3d_tpu.ops.voxelize import voxelize, pad_sites
+
+        N = rng.random((3, 3)) * 4
+        z = np.array([8.0, 26.0, 13.0])
+        sigma = np.array([1.0, 0.7, 0.6])
+        s, zz, ss, mm = pad_sites(N, z, sigma, 8)
+        ss[5] = 0.0  # hostile zero sigma in padding
+        M, S = voxelize(
+            jnp.asarray(s), jnp.asarray(zz), jnp.asarray(ss), jnp.asarray(mm),
+            jnp.asarray(np.array([4.0, 4.0, 4.0], np.float32)), GRID,
+        )
+        assert np.isfinite(np.asarray(M)).all()
+
+    def test_grid_inverse_on_nan_input(self):
+        """to_lattice_params propagates NaN (doesn't mask bad decodes)."""
+        import jax.numpy as jnp
+        from icsg3d_tpu.ops.grid import to_lattice_params
+
+        coords = jnp.full((1, 16, 16, 16, 3), jnp.nan)
+        out = np.asarray(to_lattice_params(coords, GRID))
+        assert np.isnan(out).all()
