@@ -9,15 +9,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from icsg3d_tpu.config import (
-    CGCNNConfig,
-    GridSpec,
-    TrainConfig,
-    UNetConfig,
-    VAEConfig,
-)
+from icsg3d_tpu.config import CGCNNConfig, TrainConfig, UNetConfig, VAEConfig
 from icsg3d_tpu.models import CGCNN, ConditionalDFCVAE, UNet3D
-from icsg3d_tpu.models.vae import ConditionalDFCVAE
 from icsg3d_tpu.train import (
     CheckpointManager,
     create_cgcnn_state,
