@@ -63,15 +63,24 @@ def main(argv=None):
         class_weights = inverse_frequency_weights(species, args.num_classes)
         class_weights[0] = 0.0
 
+    # Non-rotated datasets rebuild coordinate channels on device (4x less
+    # host->device traffic); rotated grids must ship their permuted coords.
+    device_coords = args.nrot == 0
+    fields = (
+        ("density", "lattice", "species") if device_coords
+        else ("density", "coords", "species")
+    )
+
     def batches(ids, shuffle, seed):
         def gen():
             it = BatchIterator(
-                ds, ids, args.batch_size,
-                fields=("density", "coords", "species"),
+                ds, ids, args.batch_size, fields=fields,
                 shuffle=shuffle, seed=seed,
             )
             for b in it:
-                yield prepare_unet_batch(b, args.num_classes)
+                yield prepare_unet_batch(
+                    b, args.num_classes, device_coords=device_coords
+                )
 
         return gen
 

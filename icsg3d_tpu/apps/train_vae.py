@@ -75,16 +75,21 @@ def main(argv=None):
         np.asarray(ds.arrays["target"]), args.cond_bins
     )
 
+    device_coords = args.nrot == 0
+    fields = ("density", "lattice") if device_coords else ("density", "coords")
+
     def batches(ids, shuffle, seed):
         rows_cond = np.stack([conds[ds.index[i]] for i in ids])
 
         def gen():
             it = BatchIterator(
-                ds, ids, args.batch_size, fields=("density", "coords"),
+                ds, ids, args.batch_size, fields=fields,
                 shuffle=shuffle, seed=seed, extra={"cond": rows_cond},
             )
             for b in it:
-                yield prepare_vae_batch(b, b["cond"])
+                yield prepare_vae_batch(
+                    b, b["cond"], device_coords=device_coords
+                )
 
         return gen
 

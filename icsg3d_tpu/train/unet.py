@@ -51,6 +51,10 @@ def _unet_losses(model, params, batch_stats, batch, class_weights, train: bool):
     labels (1/95th of the one-hot float planes the reference generators
     shipped per batch, unet/data.py:79-89).
     """
+    from icsg3d_tpu.train.vae import _assemble_x
+
+    batch = dict(batch)
+    batch["x"] = _assemble_x(batch, None)
     variables = {"params": params, "batch_stats": batch_stats}
     if train:
         (soft, sig), new_state = model.apply(
@@ -106,16 +110,29 @@ def make_unet_steps(model: UNet3D, class_weights=None):
     )
 
 
-def prepare_unet_batch(batch: Dict[str, np.ndarray], num_classes: int):
+def prepare_unet_batch(
+    batch: Dict[str, np.ndarray], num_classes: int,
+    device_coords: bool = False,
+):
     """Raw store fields -> model inputs (host side, cheap).
 
     x = density channel + coordinate channels (unet/data.py:90-100);
     labels = integer species (the one-hot and the binary occupancy targets
     derive on device inside the jitted step).
+
+    device_coords=True ships density + lattice lengths only; the coordinate
+    channels rebuild on device (non-rotated datasets only — see
+    train/vae.py prepare_vae_batch).
     """
+    s = np.minimum(batch["species"].astype(np.int32), num_classes - 1)
+    if device_coords:
+        return {
+            "density": batch["density"].astype(np.float32),
+            "abc": batch["lattice"][:, :3].astype(np.float32),
+            "labels": s,
+        }
     M = batch["density"][..., None].astype(np.float32)
     x = np.concatenate([M, batch["coords"].astype(np.float32)], axis=-1)
-    s = np.minimum(batch["species"].astype(np.int32), num_classes - 1)
     return {"x": x, "labels": s}
 
 
@@ -132,8 +149,12 @@ def _save_best_plots(model, state, batch, plot_dir: str):
 
     from icsg3d_tpu import viz
 
+    from icsg3d_tpu.train.vae import _assemble_x
+
     os.makedirs(plot_dir, exist_ok=True)
     variables = {"params": state.params, "batch_stats": state.batch_stats}
+    batch = dict(batch)
+    batch["x"] = _assemble_x(batch, None)
     soft, sig = model.apply(variables, batch["x"], train=False)
     pred = np.asarray(jnp.argmax(soft, axis=-1), dtype=np.float32)[..., None]
     true = np.asarray(batch["labels"], np.float32)[..., None]

@@ -56,10 +56,35 @@ def _perceptual_features(unet: UNet3D, unet_variables, x, taps):
     return [inter[f"relu{i}"][0] for i in taps]
 
 
+def _assemble_x(batch, grid):
+    """Model input from a batch that carries either full grids or
+    density+lattice.
+
+    When the batch has "x" it is used directly.  Otherwise the coordinate
+    channels are rebuilt ON DEVICE from the lattice lengths ("abc") —
+    coordinate_grid is pure math (utils.py:88-94), so for non-rotated
+    datasets there is no reason to ship 3 float32 channels per sample over
+    PCIe/the tunnel when 3 scalars suffice (4x less H2D).
+    """
+    if "x" in batch:
+        return batch["x"]
+    from icsg3d_tpu.config import GridSpec
+    from icsg3d_tpu.ops.voxelize import coordinate_grid
+
+    if grid is None:  # infer geometry from the density grid (default eps)
+        grid = GridSpec(d=batch["density"].shape[1])
+    coords = jax.vmap(lambda abc: coordinate_grid(abc, grid))(batch["abc"])
+    return jnp.concatenate(
+        [batch["density"][..., None].astype(jnp.float32), coords], axis=-1
+    )
+
+
 def _vae_losses(
     model, unet, unet_variables, params, batch_stats, batch, rng, train: bool
 ):
     cfg = model.cfg
+    batch = dict(batch)
+    batch["x"] = _assemble_x(batch, cfg.grid)
     variables = {"params": params, "batch_stats": batch_stats}
     if train:
         (recon, z_mean, z_log_var, _), new_state = model.apply(
@@ -132,13 +157,27 @@ def make_vae_steps(
     )
 
 
-def prepare_vae_batch(batch: Dict[str, np.ndarray], cond: np.ndarray):
+def prepare_vae_batch(
+    batch: Dict[str, np.ndarray], cond: np.ndarray,
+    device_coords: bool = False,
+):
     """Raw store fields + per-sample one-hot conds -> model inputs.
 
     x = density + coordinate channels (vae/data.py:93-100); cond is the
     quantile-bin one-hot (vae/data.py:88-91), carried by BatchIterator's
     ``extra`` mechanism.
+
+    device_coords=True ships only the density + lattice lengths and rebuilds
+    the coordinate channels inside the jitted step (4x less host->device
+    traffic).  Valid ONLY for non-rotated samples — a rotated grid's
+    coordinate channels are axis-permuted and not derivable from abc.
     """
+    if device_coords:
+        return {
+            "density": batch["density"].astype(np.float32),
+            "abc": batch["lattice"][:, :3].astype(np.float32),
+            "cond": cond.astype(np.float32),
+        }
     M = batch["density"][..., None].astype(np.float32)
     x = np.concatenate([M, batch["coords"].astype(np.float32)], axis=-1)
     return {"x": x, "cond": cond.astype(np.float32)}
@@ -160,6 +199,8 @@ def _save_best_plots(model, state, batch, plot_dir: str, epoch: int):
 
     os.makedirs(plot_dir, exist_ok=True)
     variables = {"params": state.params, "batch_stats": state.batch_stats}
+    batch = dict(batch)
+    batch["x"] = _assemble_x(batch, model.cfg.grid)
     recon, z_mean, _, _ = model.apply(
         variables, batch["x"], batch["cond"], jax.random.key(0), train=False
     )

@@ -248,3 +248,69 @@ class TestSamplePrior:
         assert np.asarray(z).shape == (3, VAE_CFG.latent_dim)
         assert np.asarray(out).shape == (3, 8, 8, 8, 4)
         assert np.isfinite(np.asarray(out)).all()
+
+
+class TestDeviceCoords:
+    """Shipping density+abc and rebuilding coordinate channels on device must
+    produce identical losses to shipping the full 4-channel grids (valid for
+    non-rotated samples)."""
+
+    def test_vae_losses_match(self, dataset):
+        from icsg3d_tpu.train.vae import make_vae_steps, prepare_vae_batch
+        from icsg3d_tpu.data.binning import bin_and_encode
+        from icsg3d_tpu.train import create_vae_state
+
+        model, state = create_vae_state(VAE_CFG, TC, jax.random.key(0))
+        _, eval_step = make_vae_steps(model)
+        _, cond, _ = bin_and_encode(
+            np.asarray(dataset.arrays["target"]), VAE_CFG.cond_bins
+        )
+        ids = [i for i in dataset.ids if "_rot_" not in i][:4]
+        it = BatchIterator(
+            dataset, ids, 4, fields=("density", "coords", "lattice"),
+            extra={"cond": cond[dataset.rows(ids)]},
+        )
+        raw = next(iter(it))
+        mesh = make_mesh(n_data=4)
+        key = jax.random.key(3)
+        m_host = eval_step(
+            state, shard_batch(prepare_vae_batch(raw, raw["cond"]), mesh), key
+        )
+        m_dev = eval_step(
+            state,
+            shard_batch(
+                prepare_vae_batch(raw, raw["cond"], device_coords=True), mesh
+            ),
+            key,
+        )
+        assert float(m_host["loss"]) == pytest.approx(
+            float(m_dev["loss"]), rel=1e-5
+        )
+
+    def test_unet_losses_match(self, dataset):
+        from icsg3d_tpu.train.unet import make_unet_steps, prepare_unet_batch
+        from icsg3d_tpu.train import create_unet_state
+
+        model, state = create_unet_state(UNET_CFG, TC, jax.random.key(0), grid_d=8)
+        _, eval_step = make_unet_steps(model)
+        ids = [i for i in dataset.ids if "_rot_" not in i][:4]
+        it = BatchIterator(
+            dataset, ids, 4, fields=("density", "coords", "lattice", "species")
+        )
+        raw = next(iter(it))
+        mesh = make_mesh(n_data=4)
+        m_host = eval_step(
+            state, shard_batch(prepare_unet_batch(raw, UNET_CFG.num_classes), mesh)
+        )
+        m_dev = eval_step(
+            state,
+            shard_batch(
+                prepare_unet_batch(
+                    raw, UNET_CFG.num_classes, device_coords=True
+                ),
+                mesh,
+            ),
+        )
+        assert float(m_host["loss"]) == pytest.approx(
+            float(m_dev["loss"]), rel=1e-5
+        )
