@@ -88,6 +88,7 @@ def fused_generate_fn(
         atoms, mu, valid = extract_atoms_batch(
             M[..., 0], jnp.where(binary > 0, labels, 0), binary,
             max_atoms=max_atoms,
+            smooth_classes=unet_model.cfg.num_classes,
         )
         cart = voxel_to_cartesian(
             mu, lattice[:, None, :], dv[:, None, :], grid

@@ -95,23 +95,64 @@ def connected_components_same_value(species: jnp.ndarray) -> jnp.ndarray:
     return labels
 
 
-@functools.partial(jax.jit, static_argnames=("max_atoms", "min_voxels"))
+def _box_sum(x):
+    """Sum over each voxel's 3^3 neighborhood (zero-padded edges)."""
+    return jax.lax.reduce_window(
+        x, 0.0, jax.lax.add, (3, 3, 3), (1, 1, 1), "SAME"
+    )
+
+
+def mode_filter(species: jnp.ndarray, num_classes: int) -> jnp.ndarray:
+    """3^3 majority vote over nonzero labels — denoises patchy segmenter
+    output before connected components (a U-Net's per-voxel argmax speckles
+    at blob boundaries, which would shatter same-species CC into fragments).
+    Voxels whose neighborhood holds no nonzero labels become 0.
+    """
+    species = species.astype(jnp.int32)
+
+    def body(carry, c):
+        best_count, best_label = carry
+        cnt = _box_sum((species == c).astype(jnp.float32))
+        better = cnt > best_count
+        return (
+            jnp.where(better, cnt, best_count),
+            jnp.where(better, c, best_label),
+        ), None
+
+    init = (jnp.zeros(species.shape, jnp.float32),
+            jnp.zeros(species.shape, jnp.int32))
+    (counts, labels), _ = jax.lax.scan(
+        body, init, jnp.arange(1, num_classes, dtype=jnp.int32)
+    )
+    return jnp.where(counts > 0, labels, 0)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("max_atoms", "min_voxels", "smooth_classes")
+)
 def extract_atoms(
     density: jnp.ndarray,   # (d, d, d) float (unused by CC; kept for tie-breaks)
     species: jnp.ndarray,   # (d, d, d) int labels (0 = background)
     mask: jnp.ndarray,      # (d, d, d) binary occupancy
     max_atoms: int = 64,
     min_voxels: int = 4,
+    smooth_classes: int = 0,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Fixed-shape atom extraction.
 
     Returns (atoms (max_atoms,) int32 — 0 for empty slots,
              centroids (max_atoms, 3) float32 voxel coordinates,
              valid (max_atoms,) bool).
+
+    smooth_classes > 0 applies the 3^3 mode filter with that class count
+    before CC — use it when the species grid comes from a segmentation
+    model rather than the voxelizer.
     """
     shape = species.shape
     n_vox = shape[0] * shape[1] * shape[2]
     spec = jnp.where(mask > 0, species.astype(jnp.int32), 0)
+    if smooth_classes:
+        spec = jnp.where(mask > 0, mode_filter(spec, smooth_classes), 0)
     labels = connected_components_same_value(spec).reshape(-1)
     spec_f = spec.reshape(-1)
 
@@ -160,10 +201,12 @@ def extract_atoms(
 
 
 def extract_atoms_batch(
-    density, species, mask, max_atoms: int = 64, min_voxels: int = 4
+    density, species, mask, max_atoms: int = 64, min_voxels: int = 4,
+    smooth_classes: int = 0,
 ):
     """vmapped extraction over a batch of grids."""
     fn = functools.partial(
-        extract_atoms, max_atoms=max_atoms, min_voxels=min_voxels
+        extract_atoms, max_atoms=max_atoms, min_voxels=min_voxels,
+        smooth_classes=smooth_classes,
     )
     return jax.vmap(fn)(density, species, mask)

@@ -101,3 +101,45 @@ class TestExtractAtoms:
         )
         assert np.asarray(atoms).shape == (2, 4)
         assert np.asarray(valid).sum(axis=1).tolist() == [1, 1]
+
+
+class TestModeFilter:
+    def test_denoises_speckled_labels(self, rng=None):
+        """Random label speckle inside a blob gets voted back to the majority;
+        CC then finds one region instead of many fragments."""
+        import numpy as np
+        from icsg3d_tpu.ops.extract import extract_atoms
+
+        rng = np.random.default_rng(0)
+        d = 16
+        M = gaussian_blob(d, (8, 8, 8), 2.5)
+        Sb = (M > 0.1).astype(np.int32)
+        S = np.where(Sb, 26, 0).astype(np.int32)
+        # speckle 15% of blob voxels with a wrong label
+        idx = np.argwhere(Sb > 0)
+        flip = idx[rng.random(len(idx)) < 0.15]
+        S[flip[:, 0], flip[:, 1], flip[:, 2]] = 8
+
+        atoms_raw, _, valid_raw = extract_atoms(
+            jnp.asarray(M), jnp.asarray(S), jnp.asarray(Sb), max_atoms=16
+        )
+        atoms_sm, mu_sm, valid_sm = extract_atoms(
+            jnp.asarray(M), jnp.asarray(S), jnp.asarray(Sb), max_atoms=16,
+            smooth_classes=95,
+        )
+        assert np.asarray(valid_sm).sum() == 1
+        assert np.asarray(atoms_sm)[np.asarray(valid_sm)][0] == 26
+        # smoothing strictly reduces fragmentation
+        assert np.asarray(valid_sm).sum() <= np.asarray(valid_raw).sum()
+
+    def test_mode_filter_preserves_clean_labels(self):
+        import numpy as np
+        from icsg3d_tpu.ops.extract import mode_filter
+
+        S = np.zeros((8, 8, 8), np.int32)
+        S[2:5, 2:5, 2:5] = 13
+        out = np.asarray(mode_filter(jnp.asarray(S), num_classes=20))
+        # interior keeps its label; the filter may dilate by <=1 voxel at
+        # edges (neighborhood majority) but never invents other labels
+        assert set(np.unique(out)) <= {0, 13}
+        assert np.all(out[3, 3, 3] == 13)
