@@ -271,3 +271,22 @@ class TestPredictApp:
         assert len(records) == 3
         assert np.isfinite(records[0]["properties"]["fe"])
         assert "error" in records[2]
+
+
+class TestCLIHelp:
+    @pytest.mark.parametrize(
+        "module",
+        [
+            "voxelize", "train_unet", "train_vae", "train_cgcnn",
+            "generate", "evaluate", "interpolate", "view", "predict", "query",
+        ],
+    )
+    def test_help_exits_zero(self, module):
+        env = dict(os.environ, JAX_PLATFORMS="cpu")
+        out = subprocess.run(
+            [sys.executable, "-m", f"icsg3d_tpu.apps.{module}", "--help"],
+            capture_output=True, text=True, env=env, cwd="/root/repo",
+            timeout=300,
+        )
+        assert out.returncode == 0, out.stderr
+        assert "usage" in out.stdout.lower()
