@@ -19,6 +19,21 @@ from icsg3d_tpu.train import (
 )
 
 
+def parse_filters(spec: str) -> Tuple[int, ...]:
+    """Parse a comma-separated ``--filters`` flag ("16,32,64") to a tuple.
+
+    Must match the filters the checkpoint was trained with; the default
+    (16,32,64,128) needs a 16^3-or-larger grid (VAEConfig validates).
+    """
+    try:
+        filters = tuple(int(t) for t in spec.split(",") if t.strip())
+    except ValueError:
+        raise SystemExit(f"--filters must be comma-separated ints, got {spec!r}")
+    if not filters:
+        raise SystemExit(f"--filters must name at least one block, got {spec!r}")
+    return filters
+
+
 def load_unet(
     cfg: UNetConfig, checkpoint_dir: Optional[str], grid_d: int = 32,
     which: str = "best",

@@ -31,6 +31,9 @@ def main(argv=None):
     p.add_argument("--lr", type=float, default=5e-4)
     p.add_argument("--d", type=int, default=32)
     p.add_argument("--latent", type=int, default=256)
+    p.add_argument("--filters", default="16,32,64,128",
+                   help="comma-separated encoder filter blocks; the grid is "
+                        "halved once per block, so small --d needs fewer")
     p.add_argument("--alpha", type=float, default=0.5)
     p.add_argument("--beta", type=float, default=3e-4)
     p.add_argument("--cond-bins", type=int, default=10)
@@ -50,7 +53,7 @@ def main(argv=None):
     grid = GridSpec(d=args.d)
     cfg = VAEConfig(
         grid=grid, latent_dim=args.latent, alpha=args.alpha, beta=args.beta,
-        cond_bins=args.cond_bins,
+        cond_bins=args.cond_bins, filters=common.parse_filters(args.filters),
     )
     tc = TrainConfig(
         batch_size=args.batch_size, learning_rate=args.lr, epochs=args.epochs

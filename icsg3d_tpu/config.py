@@ -123,6 +123,21 @@ class VAEConfig:
     perceptual_tap_weights: Tuple[float, ...] = (1.0, 1.0, 1.0, 1.0)
     dtype: str = "bfloat16"
 
+    def __post_init__(self):
+        # The encoder halves the grid once per filter block, so the grid must
+        # survive len(filters) poolings; the decoder needs the seed grid
+        # d / 2^(len-1) to upsample back exactly.  Catch the misconfiguration
+        # here — downstream it surfaces as a cryptic reshape(B, -1) error on
+        # a zero-sized tensor.
+        n = len(self.filters)
+        if self.grid.d < 2 ** n or self.grid.d % 2 ** (n - 1) != 0:
+            raise ValueError(
+                f"grid d={self.grid.d} is incompatible with {n} filter "
+                f"blocks (needs d >= {2 ** n} and d divisible by "
+                f"{2 ** (n - 1)}); use fewer/more filter blocks, e.g. "
+                f"filters={(16, 32, 64)!r} for d=8"
+            )
+
 
 @dataclasses.dataclass(frozen=True)
 class CGCNNConfig:

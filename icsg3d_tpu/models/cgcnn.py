@@ -47,6 +47,27 @@ def _masked_batch_stats(x, mask, count_from_values: bool = True):
     return mu, var
 
 
+def max_pool(x, activation=None):
+    """Global node-wise max pool (reference MaxPooling, cgcnn/cgcnn.py:106-122).
+
+    Unused by the reference's CGCNN factory (it pools with MeanPooling) and
+    unused here — provided for capability parity.  Matches the reference's
+    unmasked reduce_max: padding rows are all-zero, so they only win a
+    feature's max when every real atom's value is negative there.
+    """
+    pooled = jnp.max(x, axis=1)
+    return activation(pooled) if activation is not None else pooled
+
+
+def masked_mean_pool(x):
+    """Masked mean pool (reference MeanPooling, cgcnn/cgcnn.py:125-142):
+    sum over atoms / count of atoms with a nonzero feature-row sum."""
+    row_nonzero = jnp.count_nonzero(jnp.sum(x, axis=-1), axis=1).astype(
+        jnp.float32
+    )
+    return jnp.sum(x, axis=1) / jnp.maximum(row_nonzero, 1.0)[:, None]
+
+
 class CrystalGraphConv(nn.Module):
     """One crystal-graph convolution with GLU gating and masked BN."""
 
@@ -128,11 +149,7 @@ class CGCNN(nn.Module):
 
         # Masked mean pool (cgcnn/cgcnn.py:138): sum over atoms / count of
         # atoms with nonzero feature rows.
-        row_nonzero = jnp.count_nonzero(jnp.sum(x, axis=-1), axis=1).astype(
-            jnp.float32
-        )
-        pooled = jnp.sum(x, axis=1) / jnp.maximum(row_nonzero, 1.0)[:, None]
-        pooled = nn.softplus(pooled)
+        pooled = nn.softplus(masked_mean_pool(x))
 
         h = nn.softplus(nn.Dense(cfg.hidden_dim, param_dtype=jnp.float32)(pooled))
         out = nn.Dense(1, param_dtype=jnp.float32)(h)

@@ -74,6 +74,153 @@ def plot_interpolation(grids: np.ndarray, path: str, channel: int = 0):
     plt.close(fig)
 
 
+def _explode(data: np.ndarray) -> np.ndarray:
+    """Insert empty voxels between filled ones so faces don't merge
+    (reference viz.py:28-34)."""
+    size = np.array(data.shape[:3]) * 2 - 1
+    out = np.zeros(tuple(size) + data.shape[3:], dtype=data.dtype)
+    out[::2, ::2, ::2] = data
+    return out
+
+
+def _expand_coordinates(indices):
+    """Stretch voxel corner coordinates for the exploded grid
+    (reference viz.py:36-41)."""
+    x, y, z = indices
+    x[1::2, :, :] += 1
+    y[:, 1::2, :] += 1
+    z[:, :, 1::2] += 1
+    return x, y, z
+
+
+def _resample(grid: np.ndarray, d: int) -> np.ndarray:
+    from scipy.ndimage import zoom
+
+    factors = [d / s for s in grid.shape]
+    return zoom(grid, factors, order=1)
+
+
+def plot_voxels_3d(
+    grid: np.ndarray,
+    path: Optional[str] = None,
+    alpha: float = 0.2,
+    resample_d: int = 20,
+    ax=None,
+    cmap: str = "viridis",
+):
+    """Exploded translucent 3D voxel render of a (d,d,d) density grid
+    (reference viz.py:45-66).  Downsamples to ``resample_d`` first —
+    ax.voxels is quadratic-slow in voxel count."""
+    g = np.asarray(grid, dtype=np.float64)
+    if g.ndim == 4:
+        g = g[..., 0]
+    if resample_d and g.shape[0] != resample_d:
+        g = _resample(g, resample_d)
+    lo, hi = g.min(), g.max()
+    g = (g - lo) / (hi - lo) if hi > lo else np.zeros_like(g)
+
+    colors = plt.get_cmap(cmap)(g)
+    colors = _explode(colors)
+    filled = colors[..., -1] != 0
+    x, y, z = _expand_coordinates(np.indices(np.array(filled.shape) + 1))
+
+    own_fig = ax is None
+    if own_fig:
+        fig = plt.figure(figsize=(5, 5))
+        ax = fig.add_subplot(projection="3d")
+    ax.voxels(x, y, z, filled, facecolors=colors, alpha=alpha)
+    ax.set_xticks([]); ax.set_yticks([]); ax.set_zticks([])
+    if own_fig and path is not None:
+        ax.figure.savefig(path, dpi=120)
+        plt.close(ax.figure)
+    return ax
+
+
+def plot_voxels_duo(
+    real: np.ndarray,
+    pred: np.ndarray,
+    path: str,
+    alpha: float = 0.2,
+    resample_d: int = 12,
+):
+    """Side-by-side exploded voxel renders of two grids
+    (reference viz.py:69-105 viz_duo)."""
+    fig = plt.figure(figsize=(9, 5))
+    for i, (g, title) in enumerate(((real, "real"), (pred, "generated"))):
+        ax = fig.add_subplot(1, 2, i + 1, projection="3d")
+        plot_voxels_3d(g, alpha=alpha, resample_d=resample_d, ax=ax)
+        ax.set_title(title)
+    fig.savefig(path, dpi=120)
+    plt.close(fig)
+
+
+def save_slice_animation(
+    m: np.ndarray,
+    s: Optional[np.ndarray],
+    path: str,
+    axis: int = 2,
+    fps: int = 5,
+):
+    """Animated sweep through grid slices, saved as a GIF (reference
+    viz.py:107-119 animate — interactive plt.pause loop there; here a
+    file so it works headless).  ``s`` optionally adds a second panel."""
+    from matplotlib import animation
+
+    grids = [np.asarray(g) for g in ((m,) if s is None else (m, s))]
+    grids = [g[..., 0] if g.ndim == 4 else g for g in grids]
+    d = grids[0].shape[axis]
+    fig, axes = plt.subplots(1, len(grids), figsize=(4 * len(grids), 4))
+    axes = np.atleast_1d(axes)
+    ims = []
+    for ax, g in zip(axes, grids):
+        im = ax.imshow(np.take(g, 0, axis=axis), vmin=g.min(), vmax=g.max())
+        ax.set_xticks([]); ax.set_yticks([])
+        ims.append((im, g))
+
+    def update(i):
+        for im, g in ims:
+            im.set_data(np.take(g, i, axis=axis))
+        return [im for im, _ in ims]
+
+    anim = animation.FuncAnimation(fig, update, frames=d, blit=True)
+    anim.save(path, writer=animation.PillowWriter(fps=fps))
+    plt.close(fig)
+
+
+def plot_tsne_thumbnails(
+    z: np.ndarray,
+    images: np.ndarray,
+    path: str,
+    zoom: float = 1.0,
+    seed: int = 0,
+):
+    """t-SNE of latents with grid-slice thumbnails at each point
+    (reference viz.py:158-181 imscatter/tsne_latent)."""
+    from matplotlib.offsetbox import AnnotationBbox, OffsetImage
+    from sklearn.manifold import TSNE
+
+    z = np.asarray(z)
+    emb = TSNE(
+        n_components=2, random_state=seed,
+        perplexity=min(30.0, max(2.0, len(z) / 4)),
+    ).fit_transform(z)
+    fig, ax = plt.subplots(figsize=(8, 8))
+    for (x0, y0), img in zip(emb, images):
+        img = np.asarray(img)
+        if img.ndim == 4:  # (d,d,d,C) grid -> center slice of channel 0
+            img = img[:, :, img.shape[2] // 2, 0]
+        elif img.ndim == 3 and img.shape[-1] not in (3, 4):
+            img = img[:, :, img.shape[2] // 2]
+        ab = AnnotationBbox(
+            OffsetImage(img, zoom=zoom), (x0, y0), xycoords="data", frameon=True
+        )
+        ax.add_artist(ab)
+    ax.update_datalim(np.column_stack([emb[:, 0], emb[:, 1]]))
+    ax.autoscale()
+    fig.savefig(path, dpi=120)
+    plt.close(fig)
+
+
 def plot_points_3d(labels: np.ndarray, path: str):
     """3D scatter of nonzero voxels colored by label (viz.py:207-233)."""
     labels = np.asarray(labels)

@@ -290,3 +290,23 @@ class TestCLIHelp:
         )
         assert out.returncode == 0, out.stderr
         assert "usage" in out.stdout.lower()
+
+
+class TestViewApp:
+    def test_view_samples_writes_panels(self, dataset, models, tmp_path):
+        from icsg3d_tpu.apps.view import view_samples
+        from icsg3d_tpu.data.binning import bin_and_encode
+
+        vae_model, vae_vars, unet_model, unet_vars = models
+        _, conds, _ = bin_and_encode(np.asarray(dataset.arrays["target"]), 10)
+        out = tmp_path / "view"
+        records = view_samples(
+            vae_model, vae_vars, unet_model, unet_vars,
+            dataset, dataset.ids[:2], conds, str(out), PIPE, voxels=True,
+        )
+        assert len(records) == 2
+        for r in records:
+            assert np.isfinite(r["mse"]) and np.isfinite(r["f1"])
+            for suffix in ("recon", "true_species", "pred_species", "voxels"):
+                f = out / f"{r['id']}_{suffix}.png"
+                assert f.exists() and f.stat().st_size > 0

@@ -306,3 +306,27 @@ class TestLabelFormEquivalence:
         assert float(m.precision(onehot, probs)) == pytest.approx(
             float(m.precision_from_labels(labels, probs)), rel=1e-5
         )
+
+
+class TestGraphPooling:
+    """Reference pooling layers (cgcnn/cgcnn.py:106-142) as pure functions."""
+
+    def test_max_pool(self, rng):
+        from icsg3d_tpu.models.cgcnn import max_pool
+
+        x = jnp.asarray(rng.normal(size=(2, 5, 8)).astype(np.float32))
+        out = max_pool(x)
+        assert out.shape == (2, 8)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(x).max(axis=1))
+        act = max_pool(x, activation=jax.nn.softplus)
+        np.testing.assert_allclose(
+            np.asarray(act), np.asarray(jax.nn.softplus(out)), rtol=1e-6
+        )
+
+    def test_masked_mean_pool_ignores_padding(self, rng):
+        from icsg3d_tpu.models.cgcnn import masked_mean_pool
+
+        x = np.abs(rng.normal(size=(2, 6, 8))).astype(np.float32) + 0.1
+        x[:, 4:] = 0.0  # zero feature rows = padding atoms
+        out = np.asarray(masked_mean_pool(jnp.asarray(x)))
+        np.testing.assert_allclose(out, x[:, :4].mean(axis=1), rtol=1e-5)
