@@ -59,6 +59,11 @@ def main(argv=None):
     p.add_argument("--filters", default="16,32,64,128",
                    help="comma-separated VAE filter blocks of the checkpoint")
     p.add_argument("--output", default="output/interpolation")
+    p.add_argument(
+        "--voxels", action="store_true",
+        help="also save a row of exploded 3D voxel renders "
+             "(interpolate.py:174-202 3D mode)",
+    )
     args = p.parse_args(argv)
 
     grid = GridSpec(d=args.d)
@@ -90,6 +95,16 @@ def main(argv=None):
     viz.plot_interpolation(
         grids, os.path.join(args.output, "interpolation.png")
     )
+    if args.voxels:
+        import matplotlib.pyplot as plt
+
+        n = len(grids)
+        fig = plt.figure(figsize=(2.5 * n, 2.5))
+        for i, g in enumerate(grids):
+            ax = fig.add_subplot(1, n, i + 1, projection="3d")
+            viz.plot_voxels_3d(np.asarray(g), resample_d=12, ax=ax)
+        fig.savefig(os.path.join(args.output, "interpolation_3d.png"), dpi=120)
+        plt.close(fig)
     print(f"wrote {args.ninterps} interpolation steps -> {args.output}")
 
 
