@@ -28,7 +28,11 @@ from icsg3d_tpu.crystal.cif import read_cif
 from icsg3d_tpu.crystal.structure import Structure
 from icsg3d_tpu.data.store import FIELDS, GridDataset
 from icsg3d_tpu.ops.rotations import AXES_CHOICES
-from icsg3d_tpu.ops.voxelize import coordinate_grid, pad_sites, voxelize_batch
+from icsg3d_tpu.ops.voxelize import (
+    coordinate_grids_np,
+    pad_sites,
+    voxelize_batch,
+)
 
 
 def voxelize_structures(
@@ -72,9 +76,12 @@ def voxelize_structures(
         )
         Ms.append(np.asarray(M, np.float32))
         Ss.append(np.asarray(S).astype(np.uint8))
-        for k in range(*sl.indices(len(keep_idx))):
+        ks = range(*sl.indices(len(keep_idx)))
+        Cs.append(
+            coordinate_grids_np(np.stack([abc_b[k] for k in ks]), grid)
+        )
+        for k in ks:
             i = keep_idx[k]
-            Cs.append(np.asarray(coordinate_grid(abc_b[k], grid), np.float32))
             Ls.append(
                 np.array(structures[i].lattice.parameters, np.float32)
             )
@@ -95,7 +102,7 @@ def voxelize_structures(
 
     M = np.concatenate(Ms)
     S = np.concatenate(Ss)
-    C = np.stack(Cs)
+    C = np.concatenate(Cs)
     L = np.stack(Ls)
     T = np.asarray(Ts, np.float32)
     true_sites = np.stack(sites_b).astype(np.float32)

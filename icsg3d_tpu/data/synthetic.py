@@ -23,7 +23,7 @@ from icsg3d_tpu.crystal.lattice import Lattice
 from icsg3d_tpu.crystal.structure import Site, Structure
 from icsg3d_tpu.data.store import GridDataset
 from icsg3d_tpu.ops.rotations import AXES_CHOICES
-from icsg3d_tpu.ops.voxelize import coordinate_grid, pad_sites, voxelize_batch
+from icsg3d_tpu.ops.voxelize import coordinate_grids_np, pad_sites, voxelize_batch
 
 # Element pools (atomic numbers) for plausible chemistry.
 A_SITE = [3, 11, 19, 20, 37, 38, 55, 56, 57]           # alkali/alkaline/La
@@ -135,9 +135,7 @@ def build_dataset(
         Ss.append(np.asarray(Sc).astype(np.uint8))
     M = np.concatenate(Ms)
     S = np.concatenate(Ss)
-    coords = np.stack(
-        [np.asarray(coordinate_grid(abc, grid), np.float32) for abc in abc_b]
-    )
+    coords = coordinate_grids_np(np.stack(abc_b), grid)
 
     ids = [f"syn-{i}" for i in range(n)]
     lattice = np.stack(

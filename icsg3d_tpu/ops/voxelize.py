@@ -71,6 +71,28 @@ def coordinate_grid(abc, grid: GridSpec) -> jnp.ndarray:
     return jnp.stack([X, Y, Z], axis=-1)
 
 
+def coordinate_grids_np(abc, grid: GridSpec) -> "np.ndarray":
+    """Batched host-side coordinate grids: (B, 3) lattice lengths ->
+    (B, d, d, d, 3) float32.
+
+    Same math as :func:`coordinate_grid` (utils.py:88-94) but in numpy for
+    dataset building — calling the eager jnp version once per structure
+    dispatches dozens of tiny device ops per call, which over a remote TPU
+    tunnel turns a trivial fill into minutes of round trips.
+    """
+    import numpy as np
+
+    abc = np.asarray(abc, np.float32).reshape(-1, 3)
+    d = grid.d
+    ar = np.arange(d, dtype=np.float32)
+    step = abc * (1.0 + 2.0 * grid.eps_frac) / d        # (B, 3)
+    out = np.empty((abc.shape[0], d, d, d, 3), np.float32)
+    out[..., 0] = (step[:, 0, None] * ar)[:, :, None, None]
+    out[..., 1] = (step[:, 1, None] * ar)[:, None, :, None]
+    out[..., 2] = (step[:, 2, None] * ar)[:, None, None, :]
+    return out
+
+
 @functools.partial(jax.jit, static_argnames=("grid",))
 def voxelize(
     sites: jnp.ndarray,        # (S, 3) cartesian site coordinates

@@ -226,3 +226,23 @@ class TestNaNRobustness:
         coords = jnp.full((1, 16, 16, 16, 3), jnp.nan)
         out = np.asarray(to_lattice_params(coords, GRID))
         assert np.isnan(out).all()
+
+
+class TestCoordinateGridsNp:
+    def test_matches_device_coordinate_grid(self):
+        from icsg3d_tpu.ops.voxelize import coordinate_grid, coordinate_grids_np
+
+        grid = GridSpec(d=8)
+        abc = np.array([[3.7, 4.2, 5.1], [4.0, 4.0, 4.0]], np.float32)
+        host = coordinate_grids_np(abc, grid)
+        assert host.shape == (2, 8, 8, 8, 3)
+        for b in range(2):
+            dev = np.asarray(coordinate_grid(abc[b], grid))
+            np.testing.assert_allclose(host[b], dev, rtol=1e-6)
+
+    def test_single_vector_reshape(self):
+        from icsg3d_tpu.ops.voxelize import coordinate_grids_np
+
+        grid = GridSpec(d=4)
+        out = coordinate_grids_np(np.array([3.0, 4.0, 5.0]), grid)
+        assert out.shape == (1, 4, 4, 4, 3)
