@@ -65,6 +65,7 @@ def evaluate_reconstructions(
     )
     key = jax.random.key(seed)
     emds, datoms, dlattice = [], [], []
+    l_true_all, l_pred_all = [], []
     for batch in it:
         x = common.grid_input(batch["density"], batch["coords"])
         key, sub = jax.random.split(key)
@@ -119,6 +120,8 @@ def evaluate_reconstructions(
             except Exception:
                 continue  # robustness parity (eval.py:193-199)
             dlattice.append(np.abs(l_pred[i] - true_l))
+            l_true_all.append(np.asarray(true_l, np.float64))
+            l_pred_all.append(np.asarray(l_pred[i], np.float64))
 
     dlattice = np.asarray(dlattice) if dlattice else np.zeros((0, 3))
     return {
@@ -128,7 +131,45 @@ def evaluate_reconstructions(
             dlattice.mean(axis=0).tolist() if len(dlattice) else [float("nan")] * 3
         ),
         "n_evaluated": len(emds),
+        "emds": [float(e) for e in emds],
+        "datoms": [int(a) for a in datoms],
+        "lattice_true": np.asarray(l_true_all).reshape(-1, 3).tolist(),
+        "lattice_pred": np.asarray(l_pred_all).reshape(-1, 3).tolist(),
     }
+
+
+def save_eval_plots(results: Dict, output_dir: str) -> None:
+    """Lattice-parameter error histograms and parity scatters plus an EMD
+    histogram (reference eval.py:230-322)."""
+    import os
+
+    import matplotlib.pyplot as plt
+
+    from icsg3d_tpu import viz
+
+    os.makedirs(output_dir, exist_ok=True)
+    lt = np.asarray(results.get("lattice_true", []), np.float64).reshape(-1, 3)
+    lp = np.asarray(results.get("lattice_pred", []), np.float64).reshape(-1, 3)
+    for ax_i, name in enumerate("abc"):
+        if len(lt):
+            viz.plot_parity(
+                lt[:, ax_i], lp[:, ax_i],
+                os.path.join(output_dir, f"parity_{name}.png"), label=name,
+            )
+            fig, ax = plt.subplots()
+            ax.hist(np.abs(lp[:, ax_i] - lt[:, ax_i]), bins=30)
+            ax.set_xlabel(f"|error {name}| (Angstrom)")
+            ax.set_ylabel("count")
+            fig.savefig(os.path.join(output_dir, f"err_hist_{name}.png"), dpi=120)
+            plt.close(fig)
+    emds = np.asarray(results.get("emds", []), np.float64)
+    if len(emds):
+        fig, ax = plt.subplots()
+        ax.hist(emds[np.isfinite(emds)], bins=30)
+        ax.set_xlabel("EMD (Angstrom)")
+        ax.set_ylabel("count")
+        fig.savefig(os.path.join(output_dir, "emd_hist.png"), dpi=120)
+        plt.close(fig)
 
 
 def main(argv=None):
@@ -146,6 +187,9 @@ def main(argv=None):
                    help="comma-separated VAE filter blocks of the checkpoint")
     p.add_argument("--samples", type=int, default=None)
     p.add_argument("--output", default=None)
+    p.add_argument("--plots", default=None,
+                   help="directory for error histograms and parity plots "
+                        "(eval.py:230-322)")
     args = p.parse_args(argv)
 
     grid = GridSpec(d=args.d)
@@ -168,10 +212,16 @@ def main(argv=None):
         vae_model, vae_vars, unet_model, unet_vars, ds, val_ids, conds_val,
         batch_size=args.batch_size, pipe=pipe,
     )
-    print(json.dumps(results, indent=1))
+    summary = {
+        k: v for k, v in results.items()
+        if k in ("mean_emd", "mean_datoms", "mean_dlattice", "n_evaluated")
+    }
+    print(json.dumps(summary, indent=1))
     if args.output:
         with open(args.output, "w") as f:
             json.dump(results, f, indent=1)
+    if args.plots:
+        save_eval_plots(results, args.plots)
 
 
 if __name__ == "__main__":

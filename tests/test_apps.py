@@ -310,3 +310,23 @@ class TestViewApp:
             for suffix in ("recon", "true_species", "pred_species", "voxels"):
                 f = out / f"{r['id']}_{suffix}.png"
                 assert f.exists() and f.stat().st_size > 0
+
+
+class TestEvaluatePlots:
+    def test_per_sample_records_and_plot_files(self, dataset, models, tmp_path):
+        from icsg3d_tpu.apps.evaluate import evaluate_reconstructions, save_eval_plots
+
+        vae_model, vae_vars, unet_model, unet_vars = models
+        _, conds, _ = bin_and_encode(np.asarray(dataset.arrays["target"]), 10)
+        ids = dataset.ids[:4]
+        out = evaluate_reconstructions(
+            vae_model, vae_vars, unet_model, unet_vars,
+            dataset, ids, conds[:4], batch_size=2, pipe=PIPE,
+        )
+        assert len(out["emds"]) == out["n_evaluated"]
+        assert len(out["lattice_true"]) == len(out["lattice_pred"])
+        plots = tmp_path / "plots"
+        save_eval_plots(out, str(plots))
+        for name in ("parity_a", "err_hist_b", "emd_hist"):
+            f = plots / f"{name}.png"
+            assert f.exists() and f.stat().st_size > 0
