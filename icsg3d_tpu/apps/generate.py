@@ -249,6 +249,54 @@ def generate_structures(
     return records
 
 
+def annotate_records(
+    records: Sequence[Dict], base_target: float, target: str
+) -> None:
+    """Per-sample composition stats, mutated in place (generate.py:288-296):
+    average Pauling electronegativity, charge balance over common oxidation
+    states, and percent deviation of the predicted target property from the
+    base compound's value."""
+    from icsg3d_tpu.crystal.elements import (
+        average_electronegativity,
+        is_charge_balanced,
+    )
+
+    for r in records:
+        if r.get("atoms"):
+            r["electronegativity"] = average_electronegativity(r["atoms"])
+            r["charge_balanced"] = int(is_charge_balanced(r["atoms"]))
+        pred_target = (r.get("properties") or {}).get(target)
+        if pred_target is not None and base_target != 0:
+            r["target_diff_pct"] = abs(
+                (pred_target - base_target) / base_target
+            )
+
+
+def _write_results_csv(rows: Sequence[Dict], path: str) -> None:
+    """Flat CSV of the per-sample records (reference results.csv,
+    generate.py:313-318).  Nested ``properties`` become top-level columns;
+    list fields are JSON-encoded."""
+    import csv
+
+    flat = []
+    for r in rows:
+        fr = {k: v for k, v in r.items() if k != "properties"}
+        fr.update(r.get("properties") or {})
+        for k, v in fr.items():
+            if isinstance(v, (list, tuple)):
+                fr[k] = json.dumps(v)
+        flat.append(fr)
+    cols: List[str] = []
+    for fr in flat:
+        for k in fr:
+            if k not in cols:
+                cols.append(k)
+    with open(path, "w", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=cols)
+        w.writeheader()
+        w.writerows(flat)
+
+
 def predict_properties(
     records: Sequence[Dict],
     cgcnn_cfg: CGCNNConfig,
@@ -361,22 +409,27 @@ def main(argv=None):
         prop_ckpts = dict(kv.split("=") for kv in args.cgcnn_ckpt.split(","))
         predict_properties(records, CGCNNConfig(), prop_ckpts)
 
+    annotate_records(records, float(ds.arrays["target"][row]), args.target)
+
     os.makedirs(os.path.join(args.output, "cifs"), exist_ok=True)
-    n_valid = 0
+    n_valid = n_balanced = 0
     rows = []
     for i, r in enumerate(records):
         if r.get("valid"):
             n_valid += 1
             path = os.path.join(args.output, "cifs", f"gen-{i}.cif")
             write_cif(r["structure"], path)
+            r["cif"] = path
+        n_balanced += r.get("charge_balanced", 0)
         rows.append(
             {k: v for k, v in r.items() if k not in ("structure",)}
         )
     with open(os.path.join(args.output, "results.json"), "w") as f:
         json.dump(rows, f, indent=1)
+    _write_results_csv(rows, os.path.join(args.output, "results.csv"))
     print(
         f"generated {len(records)} samples, {n_valid} valid structures "
-        f"-> {args.output}"
+        f"({n_balanced} charge-balanced) -> {args.output}"
     )
 
 

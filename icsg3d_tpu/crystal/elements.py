@@ -232,3 +232,73 @@ def valence_electrons(z: int) -> int:
     # f-block: electrons beyond the preceding noble-gas s2 core
     base = 56 if z <= 71 else 88
     return int(np.clip(z - base, 1, 12))
+
+
+# Common oxidation states per element (standard chemistry data; the subset
+# used by the generation-stats charge-balance check, generate.py:292-294 in
+# the reference via pymatgen oxi_state_guesses).  Elements without an entry
+# fall back to (0,) so exotic species never crash the check.
+# fmt: off
+COMMON_OXIDATION_STATES: Dict[str, tuple] = {
+    "H": (-1, 1), "He": (0,), "Li": (1,), "Be": (2,), "B": (3,),
+    "C": (-4, -3, -2, -1, 1, 2, 3, 4), "N": (-3, 3, 5), "O": (-2,),
+    "F": (-1,), "Ne": (0,), "Na": (1,), "Mg": (2,), "Al": (3,),
+    "Si": (-4, 4), "P": (-3, 3, 5), "S": (-2, 2, 4, 6), "Cl": (-1, 1, 3, 5, 7),
+    "Ar": (0,), "K": (1,), "Ca": (2,), "Sc": (3,), "Ti": (2, 3, 4),
+    "V": (2, 3, 4, 5), "Cr": (2, 3, 6), "Mn": (2, 3, 4, 6, 7),
+    "Fe": (2, 3), "Co": (2, 3), "Ni": (2, 3), "Cu": (1, 2), "Zn": (2,),
+    "Ga": (3,), "Ge": (-4, 2, 4), "As": (-3, 3, 5), "Se": (-2, 2, 4, 6),
+    "Br": (-1, 1, 3, 5, 7), "Kr": (0, 2), "Rb": (1,), "Sr": (2,),
+    "Y": (3,), "Zr": (4,), "Nb": (3, 5), "Mo": (2, 3, 4, 5, 6),
+    "Tc": (4, 7), "Ru": (2, 3, 4, 8), "Rh": (1, 3), "Pd": (2, 4),
+    "Ag": (1,), "Cd": (2,), "In": (1, 3), "Sn": (2, 4), "Sb": (-3, 3, 5),
+    "Te": (-2, 2, 4, 6), "I": (-1, 1, 3, 5, 7), "Xe": (0, 2, 4, 6, 8),
+    "Cs": (1,), "Ba": (2,), "La": (3,), "Ce": (3, 4), "Pr": (3,),
+    "Nd": (3,), "Pm": (3,), "Sm": (2, 3), "Eu": (2, 3), "Gd": (3,),
+    "Tb": (3, 4), "Dy": (3,), "Ho": (3,), "Er": (3,), "Tm": (2, 3),
+    "Yb": (2, 3), "Lu": (3,), "Hf": (4,), "Ta": (5,), "W": (2, 3, 4, 5, 6),
+    "Re": (2, 4, 6, 7), "Os": (2, 3, 4, 6, 8), "Ir": (1, 3, 4),
+    "Pt": (2, 4), "Au": (1, 3), "Hg": (1, 2), "Tl": (1, 3),
+    "Pb": (2, 4), "Bi": (3, 5), "Po": (-2, 2, 4), "At": (-1, 1),
+    "Rn": (0, 2), "Fr": (1,), "Ra": (2,), "Ac": (3,), "Th": (4,),
+    "Pa": (4, 5), "U": (3, 4, 5, 6), "Np": (3, 4, 5, 6),
+    "Pu": (3, 4, 5, 6), "Am": (3, 4, 5, 6), "Cm": (3, 4),
+    "Bk": (3, 4), "Cf": (3,), "Es": (3,), "Fm": (3,),
+}
+# fmt: on
+
+
+def oxidation_states(z: int) -> tuple:
+    """Common oxidation states for atomic number z ((0,) if unknown)."""
+    return COMMON_OXIDATION_STATES.get(Z_TO_SYMBOL.get(int(z), ""), (0,))
+
+
+def average_electronegativity(zs) -> float:
+    """Mean Pauling electronegativity over a list of atomic numbers
+    (reference generate.py:291 via pymatgen Composition.average_electroneg)."""
+    vals = ELECTRONEGATIVITY[np.asarray(zs, dtype=int)]
+    vals = vals[~np.isnan(vals)]
+    return float(vals.mean()) if len(vals) else float("nan")
+
+
+def is_charge_balanced(zs) -> bool:
+    """True if some assignment of one common oxidation state per element
+    makes the composition neutral (the reference's charge-balance stat,
+    generate.py:292-294 via pymatgen oxi_state_guesses).
+    """
+    zs = np.asarray(zs, dtype=int)
+    if len(zs) == 0:
+        return False
+    uniq, counts = np.unique(zs, return_counts=True)
+    # reduce counts by their gcd so big cells don't blow up the DP range
+    g = np.gcd.reduce(counts)
+    counts = counts // g
+    achievable = {0}
+    for z, n in zip(uniq, counts):
+        states = oxidation_states(int(z))
+        achievable = {
+            total + int(s) * int(n) for total in achievable for s in states
+        }
+        if len(achievable) > 100_000:  # defensive cap; never hit in practice
+            return True
+    return 0 in achievable

@@ -330,3 +330,27 @@ class TestEvaluatePlots:
         for name in ("parity_a", "err_hist_b", "emd_hist"):
             f = plots / f"{name}.png"
             assert f.exists() and f.stat().st_size > 0
+
+
+class TestGenerateAnnotations:
+    def test_annotate_records_stats(self, tmp_path):
+        from icsg3d_tpu.apps.generate import _write_results_csv, annotate_records
+
+        records = [
+            {"valid": True, "atoms": [11, 17],
+             "properties": {"formation_energy": -2.0}},
+            {"valid": True, "atoms": [11, 11, 17]},
+            {"valid": False},
+        ]
+        annotate_records(records, base_target=-1.0, target="formation_energy")
+        assert records[0]["charge_balanced"] == 1      # NaCl
+        assert records[1]["charge_balanced"] == 0      # Na2Cl
+        assert records[0]["target_diff_pct"] == pytest.approx(1.0)
+        assert "target_diff_pct" not in records[1]
+        assert 0.5 < records[0]["electronegativity"] < 4.0
+
+        path = tmp_path / "results.csv"
+        _write_results_csv(records, str(path))
+        text = path.read_text().splitlines()
+        assert "charge_balanced" in text[0] and "formation_energy" in text[0]
+        assert len(text) == 4  # header + 3 rows

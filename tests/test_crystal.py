@@ -281,3 +281,30 @@ loop_
         ordered = s.order_sites()
         # only the majority-occupancy Na and the full Cl survive ordering
         assert sorted(site.symbol for site in ordered.sites) == ["Cl", "Na"]
+
+
+class TestCompositionStats:
+    """Charge balance + electronegativity helpers (reference
+    generate.py:288-296 composition stats)."""
+
+    def test_charge_balance_known_compositions(self):
+        from icsg3d_tpu.crystal.elements import is_charge_balanced
+
+        assert is_charge_balanced([11, 17])              # NaCl
+        assert is_charge_balanced([20, 22, 8, 8, 8])     # CaTiO3
+        assert is_charge_balanced([26, 26, 8, 8, 8])     # Fe2O3
+        assert not is_charge_balanced([11, 11, 17])      # Na2Cl
+        assert not is_charge_balanced([2, 8])            # HeO
+        assert not is_charge_balanced([])
+
+    def test_average_electronegativity(self):
+        from icsg3d_tpu.crystal.elements import average_electronegativity
+
+        # Na 0.93, Cl 3.16 -> mean 2.045
+        assert average_electronegativity([11, 17]) == pytest.approx(2.045, abs=0.01)
+
+    def test_oxidation_states_fallback(self):
+        from icsg3d_tpu.crystal.elements import oxidation_states
+
+        assert oxidation_states(8) == (-2,)
+        assert oxidation_states(999) == (0,)
