@@ -71,6 +71,10 @@ def main(argv=None):
     p.add_argument("--lr", type=float, default=1e-3)
     p.add_argument("--split-frac", type=float, default=0.8)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--ckpt-every", type=int, default=1,
+                   help="save the latest checkpoint every N epochs (best is "
+                        "always saved; the full-state fetch is expensive "
+                        "over a remote device link)")
     p.add_argument("--resume", action="store_true",
                    help="resume from the latest checkpoint in --ckpt")
     p.add_argument("--ckpt", default="checkpoints/cgcnn")
@@ -116,6 +120,7 @@ def main(argv=None):
     state, history = train_cgcnn(
         model, state, batches(train_idx), batches(val_idx),
         epochs=args.epochs, checkpoint_dir=args.ckpt,
+        latest_every=args.ckpt_every,
     )
     import json as _json
 

@@ -31,6 +31,10 @@ def main(argv=None):
     p.add_argument("--split-frac", type=float, default=0.8)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--no-class-weights", action="store_true")
+    p.add_argument("--ckpt-every", type=int, default=1,
+                   help="save the latest checkpoint every N epochs (best is "
+                        "always saved; the full-state fetch is expensive "
+                        "over a remote device link)")
     p.add_argument("--resume", action="store_true",
                    help="resume from the latest checkpoint in --ckpt")
     p.add_argument("--ckpt", default="checkpoints/unet")
@@ -92,6 +96,7 @@ def main(argv=None):
         class_weights=class_weights,
         checkpoint_dir=args.ckpt,
         plot_dir=os.path.join(args.ckpt, "plots"),
+        latest_every=args.ckpt_every,
     )
 
     from icsg3d_tpu import viz

@@ -40,6 +40,10 @@ def main(argv=None):
     p.add_argument("--num-classes", type=int, default=95)
     p.add_argument("--nrot", type=int, default=10)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--ckpt-every", type=int, default=1,
+                   help="save the latest checkpoint every N epochs (best is "
+                        "always saved; the full-state fetch is expensive "
+                        "over a remote device link)")
     p.add_argument("--resume", action="store_true",
                    help="resume from the latest checkpoint in --ckpt")
     p.add_argument("--ckpt", default="checkpoints/vae")
@@ -106,6 +110,7 @@ def main(argv=None):
         checkpoint_dir=args.ckpt,
         seed=args.seed,
         plot_dir=os.path.join(args.ckpt, "plots"),
+        latest_every=args.ckpt_every,
     )
 
     from icsg3d_tpu import viz

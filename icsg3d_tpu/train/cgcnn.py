@@ -79,6 +79,7 @@ def train_cgcnn(
     checkpoint_dir: Optional[str] = None,
     mesh=None,
     log_fn=print,
+    latest_every: int = 1,
 ):
     mesh = mesh or make_mesh()
     train_step, eval_step = make_cgcnn_steps(model)
@@ -104,6 +105,7 @@ def train_cgcnn(
             f"val mae {vm['mae']:.4f}"
         )
         if ckpt:
-            ckpt.save_latest(state)
-            ckpt.save_if_best(state, vm["mae"])
+            ckpt.save_epoch(state, vm["mae"], epoch, latest_every=latest_every)
+    if ckpt and latest_every > 1:
+        ckpt.save_latest(state)
     return state, history

@@ -57,6 +57,37 @@ class CheckpointManager:
             json.dump({"metric": self.best_metric}, f)
         return True
 
+    def save_epoch(
+        self, state, metric: float, epoch: int, latest_every: int = 1
+    ) -> bool:
+        """Per-epoch best + latest saves with ONE device fetch.
+
+        jax.device_get of the full train state (params + Adam moments) is
+        the expensive part over a remote device link, so it runs at most
+        once per epoch — and only when there is something to write: the
+        metric improved, or the `latest` cadence is due.  Callers should
+        still save_latest() once after the final epoch so resume continues
+        from the true end.  Returns whether `best` improved.
+        """
+        improved = self._is_better(float(metric))
+        due = latest_every <= 1 or (epoch + 1) % latest_every == 0
+        if not improved and not due:
+            return False
+        tree = jax.device_get(self._tree(state))
+        if improved:
+            self.best_metric = float(metric)
+            self._ckpt.save(
+                os.path.join(self.directory, "best"), tree, force=True
+            )
+            with open(
+                os.path.join(self.directory, "best_metric.json"), "w"
+            ) as f:
+                json.dump({"metric": self.best_metric}, f)
+        self._ckpt.save(
+            os.path.join(self.directory, "latest"), tree, force=True
+        )
+        return improved
+
     def restore(self, state, which: str = "best"):
         """Restore a saved tree into an existing state (shape template)."""
         path = os.path.join(self.directory, which)

@@ -178,12 +178,16 @@ def train_unet(
     mesh=None,
     log_fn=print,
     plot_dir: Optional[str] = None,
+    latest_every: int = 1,
 ):
     """Epoch loop with best-val checkpointing (and best-val segmentation
     plots when plot_dir is given).
 
     train_batches/val_batches: callables returning fresh epoch iterators of
-    prepared batches (see prepare_unet_batch).
+    prepared batches (see prepare_unet_batch).  latest_every thins the
+    per-epoch `latest` checkpoint (the full-state device fetch is expensive
+    over a remote device link); a final save always runs after the last
+    epoch so --resume continues from the true end.
     """
     mesh = mesh or make_mesh()
     train_step, eval_step = make_unet_steps(model, class_weights)
@@ -210,8 +214,11 @@ def train_unet(
             f"val loss {vm['loss']:.4f} f1 {vm['f1']:.3f}"
         )
         if ckpt:
-            ckpt.save_latest(state)
-            improved = ckpt.save_if_best(state, vm["loss"])
+            improved = ckpt.save_epoch(
+                state, vm["loss"], epoch, latest_every=latest_every
+            )
             if improved and plot_dir and last_val_batch is not None:
                 _save_best_plots(model, state, last_val_batch, plot_dir)
+    if ckpt and latest_every > 1:
+        ckpt.save_latest(state)
     return state, history

@@ -229,6 +229,7 @@ def train_vae(
     seed: int = 0,
     log_fn=print,
     plot_dir: Optional[str] = None,
+    latest_every: int = 1,
 ):
     """Epoch loop mirroring LatticeDFCVAE.train (vae/lattice_vae.py:288-342):
     per-epoch train/val metric means, wall-clock print, best-val save (and
@@ -266,8 +267,11 @@ def train_vae(
             f"val loss {vm['loss']:.4f}"
         )
         if ckpt:
-            ckpt.save_latest(state)
-            improved = ckpt.save_if_best(state, vm["loss"])
+            improved = ckpt.save_epoch(
+                state, vm["loss"], epoch, latest_every=latest_every
+            )
             if improved and plot_dir and last_val_batch is not None:
                 _save_best_plots(model, state, last_val_batch, plot_dir, epoch)
+    if ckpt and latest_every > 1:
+        ckpt.save_latest(state)
     return state, history

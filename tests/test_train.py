@@ -314,3 +314,42 @@ class TestDeviceCoords:
         assert float(m_host["loss"]) == pytest.approx(
             float(m_dev["loss"]), rel=1e-5
         )
+
+
+class TestSaveEpoch:
+    """save_epoch: one fetch per epoch, thinned `latest` cadence."""
+
+    def _state(self, tmp_path):
+        model, state = create_unet_state(
+            UNET_CFG, TC, jax.random.key(0), grid_d=8
+        )
+        return state
+
+    def test_latest_thinning_and_best(self, tmp_path):
+        import os
+
+        state = self._state(tmp_path)
+        ckpt = CheckpointManager(str(tmp_path / "ck"))
+        latest = str(tmp_path / "ck" / "latest")
+
+        # epoch 0: metric improves (first) -> best AND latest written
+        assert ckpt.save_epoch(state, 5.0, epoch=0, latest_every=3)
+        assert ckpt.has("best") and ckpt.has("latest")
+
+        # epoch 1: worse metric, cadence not due -> nothing written
+        import shutil
+
+        shutil.rmtree(latest)
+        assert not ckpt.save_epoch(state, 9.0, epoch=1, latest_every=3)
+        assert not os.path.exists(latest)
+
+        # epoch 2: worse metric but cadence due ((2+1) % 3 == 0) -> latest only
+        assert not ckpt.save_epoch(state, 9.0, epoch=2, latest_every=3)
+        assert os.path.exists(latest)
+        assert ckpt.best_metric == 5.0
+
+        # improvement always writes both regardless of cadence
+        shutil.rmtree(latest)
+        assert ckpt.save_epoch(state, 1.0, epoch=3, latest_every=100)
+        assert os.path.exists(latest)
+        assert ckpt.best_metric == 1.0
