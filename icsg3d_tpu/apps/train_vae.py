@@ -40,6 +40,10 @@ def main(argv=None):
     p.add_argument("--num-classes", type=int, default=95)
     p.add_argument("--nrot", type=int, default=10)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--ship-dtype", default="float16",
+                   choices=("float32", "float16"),
+                   help="wire dtype for density grids (cast to float32 on "
+                        "device; float16 halves host->device bytes)")
     p.add_argument("--ckpt-every", type=int, default=1,
                    help="save the latest checkpoint every N epochs (best is "
                         "always saved; the full-state fetch is expensive "
@@ -95,7 +99,8 @@ def main(argv=None):
             )
             for b in it:
                 yield prepare_vae_batch(
-                    b, b["cond"], device_coords=device_coords
+                    b, b["cond"], device_coords=device_coords,
+                    ship_dtype=args.ship_dtype,
                 )
 
         return gen

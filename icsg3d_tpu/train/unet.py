@@ -113,6 +113,7 @@ def make_unet_steps(model: UNet3D, class_weights=None):
 def prepare_unet_batch(
     batch: Dict[str, np.ndarray], num_classes: int,
     device_coords: bool = False,
+    ship_dtype: str = "float32",
 ):
     """Raw store fields -> model inputs (host side, cheap).
 
@@ -122,17 +123,22 @@ def prepare_unet_batch(
 
     device_coords=True ships density + lattice lengths only; the coordinate
     channels rebuild on device (non-rotated datasets only — see
-    train/vae.py prepare_vae_batch).
+    train/vae.py prepare_vae_batch).  ship_dtype="float16" halves the
+    density bytes (cast back to float32 on device).
     """
     s = np.minimum(batch["species"].astype(np.int32), num_classes - 1)
+    # integer species labels fit uint8 (95 classes) — 4x fewer label bytes
+    # on the wire; one_hot/compare on device accept any integer dtype
+    s = s.astype(np.uint8) if num_classes <= 256 else s
+    dt = np.dtype(ship_dtype)
     if device_coords:
         return {
-            "density": batch["density"].astype(np.float32),
+            "density": batch["density"].astype(dt),
             "abc": batch["lattice"][:, :3].astype(np.float32),
             "labels": s,
         }
-    M = batch["density"][..., None].astype(np.float32)
-    x = np.concatenate([M, batch["coords"].astype(np.float32)], axis=-1)
+    M = batch["density"][..., None].astype(dt)
+    x = np.concatenate([M, batch["coords"].astype(dt)], axis=-1)
     return {"x": x, "labels": s}
 
 

@@ -67,7 +67,7 @@ def _assemble_x(batch, grid):
     PCIe/the tunnel when 3 scalars suffice (4x less H2D).
     """
     if "x" in batch:
-        return batch["x"]
+        return batch["x"].astype(jnp.float32)
     from icsg3d_tpu.config import GridSpec
     from icsg3d_tpu.ops.voxelize import coordinate_grid
 
@@ -160,6 +160,7 @@ def make_vae_steps(
 def prepare_vae_batch(
     batch: Dict[str, np.ndarray], cond: np.ndarray,
     device_coords: bool = False,
+    ship_dtype: str = "float32",
 ):
     """Raw store fields + per-sample one-hot conds -> model inputs.
 
@@ -171,15 +172,22 @@ def prepare_vae_batch(
     the coordinate channels inside the jitted step (4x less host->device
     traffic).  Valid ONLY for non-rotated samples — a rotated grid's
     coordinate channels are axis-permuted and not derivable from abc.
+
+    ship_dtype="float16" halves the density bytes on the wire; the step
+    casts back to float32 on device before the (bfloat16) model compute, so
+    the only loss is fp16's ~5e-4 relative rounding of a smooth Gaussian
+    field.  Epochs over a remote device link are transfer-bound, so this is
+    ~2x epoch wall time.
     """
+    dt = np.dtype(ship_dtype)
     if device_coords:
         return {
-            "density": batch["density"].astype(np.float32),
+            "density": batch["density"].astype(dt),
             "abc": batch["lattice"][:, :3].astype(np.float32),
             "cond": cond.astype(np.float32),
         }
-    M = batch["density"][..., None].astype(np.float32)
-    x = np.concatenate([M, batch["coords"].astype(np.float32)], axis=-1)
+    M = batch["density"][..., None].astype(dt)
+    x = np.concatenate([M, batch["coords"].astype(dt)], axis=-1)
     return {"x": x, "cond": cond.astype(np.float32)}
 
 
