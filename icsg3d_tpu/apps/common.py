@@ -29,9 +29,30 @@ def parse_filters(spec: str) -> Tuple[int, ...]:
         filters = tuple(int(t) for t in spec.split(",") if t.strip())
     except ValueError:
         raise SystemExit(f"--filters must be comma-separated ints, got {spec!r}")
-    if not filters:
-        raise SystemExit(f"--filters must name at least one block, got {spec!r}")
+    if not filters or any(f <= 0 for f in filters):
+        raise SystemExit(
+            f"--filters must name at least one positive block size, got {spec!r}"
+        )
     return filters
+
+
+def add_vae_flags(parser) -> None:
+    """The VAE-checkpoint geometry flags shared by every consuming CLI."""
+    parser.add_argument(
+        "--latent", type=int, default=256,
+        help="latent dim the VAE checkpoint was trained with",
+    )
+    parser.add_argument(
+        "--filters", default="16,32,64,128",
+        help="comma-separated VAE filter blocks of the checkpoint",
+    )
+
+
+def vae_config_from_args(args, grid) -> VAEConfig:
+    return VAEConfig(
+        grid=grid, cond_bins=args.cond_bins, latent_dim=args.latent,
+        filters=parse_filters(args.filters),
+    )
 
 
 def load_unet(

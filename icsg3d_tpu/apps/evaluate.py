@@ -181,10 +181,7 @@ def main(argv=None):
     p.add_argument("--d", type=int, default=32)
     p.add_argument("--num-classes", type=int, default=95)
     p.add_argument("--cond-bins", type=int, default=10)
-    p.add_argument("--latent", type=int, default=256,
-                   help="latent dim the VAE checkpoint was trained with")
-    p.add_argument("--filters", default="16,32,64,128",
-                   help="comma-separated VAE filter blocks of the checkpoint")
+    common.add_vae_flags(p)
     p.add_argument("--samples", type=int, default=None)
     p.add_argument("--output", default=None)
     p.add_argument("--plots", default=None,
@@ -202,8 +199,7 @@ def main(argv=None):
     conds_val = np.stack([cond_map[sid] for sid in val_ids])
 
     vae_model, vae_vars = common.load_vae(
-        VAEConfig(grid=grid, cond_bins=args.cond_bins, latent_dim=args.latent,
-                  filters=common.parse_filters(args.filters)), args.vae_ckpt
+        common.vae_config_from_args(args, grid), args.vae_ckpt
     )
     unet_model, unet_vars = common.load_unet(
         UNetConfig(num_classes=args.num_classes), args.unet_ckpt, grid_d=args.d

@@ -360,10 +360,7 @@ def main(argv=None):
     p.add_argument("--num-classes", type=int, default=95)
     p.add_argument("--target", default="formation_energy_per_atom")
     p.add_argument("--cond-bins", type=int, default=10)
-    p.add_argument("--latent", type=int, default=256,
-                   help="latent dim the VAE checkpoint was trained with")
-    p.add_argument("--filters", default="16,32,64,128",
-                   help="comma-separated VAE filter blocks of the checkpoint")
+    common.add_vae_flags(p)
     p.add_argument("--output", default="output/generated")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument(
@@ -384,8 +381,7 @@ def main(argv=None):
     )
 
     vae_model, vae_vars = common.load_vae(
-        VAEConfig(grid=grid, cond_bins=args.cond_bins, latent_dim=args.latent,
-                  filters=common.parse_filters(args.filters)), args.vae_ckpt
+        common.vae_config_from_args(args, grid), args.vae_ckpt
     )
     unet_model, unet_vars = common.load_unet(
         UNetConfig(num_classes=args.num_classes), args.unet_ckpt, grid_d=args.d

@@ -54,10 +54,7 @@ def main(argv=None):
     p.add_argument("--ninterps", type=int, default=10)
     p.add_argument("--d", type=int, default=32)
     p.add_argument("--cond-bins", type=int, default=10)
-    p.add_argument("--latent", type=int, default=256,
-                   help="latent dim the VAE checkpoint was trained with")
-    p.add_argument("--filters", default="16,32,64,128",
-                   help="comma-separated VAE filter blocks of the checkpoint")
+    common.add_vae_flags(p)
     p.add_argument("--output", default="output/interpolation")
     p.add_argument(
         "--voxels", action="store_true",
@@ -70,8 +67,7 @@ def main(argv=None):
     ds = GridDataset(args.data)
     _, conds, _ = bin_and_encode(np.asarray(ds.arrays["target"]), args.cond_bins)
     vae_model, vae_vars = common.load_vae(
-        VAEConfig(grid=grid, cond_bins=args.cond_bins, latent_dim=args.latent,
-                  filters=common.parse_filters(args.filters)), args.vae_ckpt
+        common.vae_config_from_args(args, grid), args.vae_ckpt
     )
 
     ia, ib = ds.index[args.a], ds.index[args.b]

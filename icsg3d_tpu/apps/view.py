@@ -68,9 +68,12 @@ def view_samples(
         labels, binary = np.asarray(labels_j)[0], np.asarray(binary_j)[0]
 
         # Per-sample F1 of the reconstruction's segmentation against the
-        # true species grid (view_results.py:137).
-        true_species = np.asarray(dataset.arrays["species"][row]).astype(
-            np.int32
+        # true species grid (view_results.py:137), clipped to the model's
+        # class range like prepare_unet_batch (gather would silently clamp).
+        num_classes = probs.shape[-1]
+        true_species = np.minimum(
+            np.asarray(dataset.arrays["species"][row]).astype(np.int32),
+            num_classes - 1,
         )
         f1 = float(
             f1_score_from_labels(jnp.asarray(true_species)[None], probs)
@@ -113,10 +116,7 @@ def main(argv=None):
     p.add_argument("--d", type=int, default=32)
     p.add_argument("--num-classes", type=int, default=95)
     p.add_argument("--cond-bins", type=int, default=10)
-    p.add_argument("--latent", type=int, default=256,
-                   help="latent dim the VAE checkpoint was trained with")
-    p.add_argument("--filters", default="16,32,64,128",
-                   help="comma-separated VAE filter blocks of the checkpoint")
+    common.add_vae_flags(p)
     p.add_argument("--output", default="output/view")
     p.add_argument(
         "--voxels", action="store_true",
@@ -131,8 +131,7 @@ def main(argv=None):
     _, val_ids = data_split(ds.ids, n_rot=0)
 
     vae_model, vae_vars = common.load_vae(
-        VAEConfig(grid=grid, cond_bins=args.cond_bins, latent_dim=args.latent,
-                  filters=common.parse_filters(args.filters)), args.vae_ckpt
+        common.vae_config_from_args(args, grid), args.vae_ckpt
     )
     unet_model, unet_vars = common.load_unet(
         UNetConfig(num_classes=args.num_classes), args.unet_ckpt, grid_d=args.d

@@ -282,23 +282,28 @@ def average_electronegativity(zs) -> float:
 
 
 def is_charge_balanced(zs) -> bool:
-    """True if some assignment of one common oxidation state per element
-    makes the composition neutral (the reference's charge-balance stat,
+    """True if some per-atom assignment of common oxidation states makes the
+    composition neutral (the reference's charge-balance stat,
     generate.py:292-294 via pymatgen oxi_state_guesses).
+
+    Atoms of the same element may take different states — mixed-valence
+    compounds like Fe3O4 (2 Fe3+ + 1 Fe2+) count as balanced, matching
+    pymatgen's per-element state-combination enumeration.
     """
     zs = np.asarray(zs, dtype=int)
     if len(zs) == 0:
         return False
     uniq, counts = np.unique(zs, return_counts=True)
-    # reduce counts by their gcd so big cells don't blow up the DP range
-    g = np.gcd.reduce(counts)
-    counts = counts // g
     achievable = {0}
     for z, n in zip(uniq, counts):
-        states = oxidation_states(int(z))
-        achievable = {
-            total + int(s) * int(n) for total in achievable for s in states
-        }
-        if len(achievable) > 100_000:  # defensive cap; never hit in practice
-            return True
+        states = sorted(set(oxidation_states(int(z))))
+        # sums reachable by n atoms of this element (multiset of states)
+        elem_sums = {0}
+        for _ in range(int(n)):
+            elem_sums = {s + int(st) for s in elem_sums for st in states}
+        achievable = {a + e for a in achievable for e in elem_sums}
+        if len(achievable) > 1_000_000:
+            # bounded by the total charge range in practice (a few hundred
+            # values for padded 64-atom cells); fail conservative if not
+            return False
     return 0 in achievable

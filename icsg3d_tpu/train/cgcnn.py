@@ -106,6 +106,6 @@ def train_cgcnn(
         )
         if ckpt:
             ckpt.save_epoch(state, vm["mae"], epoch, latest_every=latest_every)
-    if ckpt and latest_every > 1:
-        ckpt.save_latest(state)
+    if ckpt and latest_every > 1 and ckpt.last_latest_epoch != epochs - 1:
+        ckpt.save_latest(state)  # final save so --resume continues from the end
     return state, history

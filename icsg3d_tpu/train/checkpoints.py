@@ -23,6 +23,7 @@ class CheckpointManager:
         os.makedirs(self.directory, exist_ok=True)
         self.mode = mode
         self.best_metric: Optional[float] = None
+        self.last_latest_epoch: Optional[int] = None  # set by save_epoch
         self._ckpt = ocp.PyTreeCheckpointer()
         meta = os.path.join(self.directory, "best_metric.json")
         if os.path.exists(meta):
@@ -46,17 +47,6 @@ class CheckpointManager:
         path = os.path.join(self.directory, "latest")
         self._ckpt.save(path, jax.device_get(self._tree(state)), force=True)
 
-    def save_if_best(self, state, metric: float) -> bool:
-        """Save under `best` when the metric improves; returns whether saved."""
-        if not self._is_better(float(metric)):
-            return False
-        self.best_metric = float(metric)
-        path = os.path.join(self.directory, "best")
-        self._ckpt.save(path, jax.device_get(self._tree(state)), force=True)
-        with open(os.path.join(self.directory, "best_metric.json"), "w") as f:
-            json.dump({"metric": self.best_metric}, f)
-        return True
-
     def save_epoch(
         self, state, metric: float, epoch: int, latest_every: int = 1
     ) -> bool:
@@ -73,6 +63,7 @@ class CheckpointManager:
         due = latest_every <= 1 or (epoch + 1) % latest_every == 0
         if not improved and not due:
             return False
+        self.last_latest_epoch = epoch
         tree = jax.device_get(self._tree(state))
         if improved:
             self.best_metric = float(metric)

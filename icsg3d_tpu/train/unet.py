@@ -124,7 +124,8 @@ def prepare_unet_batch(
     device_coords=True ships density + lattice lengths only; the coordinate
     channels rebuild on device (non-rotated datasets only — see
     train/vae.py prepare_vae_batch).  ship_dtype="float16" halves the
-    density bytes (cast back to float32 on device).
+    density bytes (cast back to float32 on device); coordinate channels
+    always ship float32 (lattice-regression targets downstream).
     """
     s = np.minimum(batch["species"].astype(np.int32), num_classes - 1)
     # integer species labels fit uint8 (95 classes) — 4x fewer label bytes
@@ -137,9 +138,11 @@ def prepare_unet_batch(
             "abc": batch["lattice"][:, :3].astype(np.float32),
             "labels": s,
         }
-    M = batch["density"][..., None].astype(dt)
-    x = np.concatenate([M, batch["coords"].astype(dt)], axis=-1)
-    return {"x": x, "labels": s}
+    return {
+        "density": batch["density"].astype(dt),
+        "coords": batch["coords"].astype(np.float32),
+        "labels": s,
+    }
 
 
 def _mean_metrics(history):
@@ -225,6 +228,6 @@ def train_unet(
             )
             if improved and plot_dir and last_val_batch is not None:
                 _save_best_plots(model, state, last_val_batch, plot_dir)
-    if ckpt and latest_every > 1:
-        ckpt.save_latest(state)
+    if ckpt and latest_every > 1 and ckpt.last_latest_epoch != epochs - 1:
+        ckpt.save_latest(state)  # final save so --resume continues from the end
     return state, history

@@ -57,26 +57,30 @@ def _perceptual_features(unet: UNet3D, unet_variables, x, taps):
 
 
 def _assemble_x(batch, grid):
-    """Model input from a batch that carries either full grids or
-    density+lattice.
+    """Model input from a batch carrying "x" grids, density+"coords"
+    channels, or density+lattice lengths.
 
-    When the batch has "x" it is used directly.  Otherwise the coordinate
-    channels are rebuilt ON DEVICE from the lattice lengths ("abc") —
-    coordinate_grid is pure math (utils.py:88-94), so for non-rotated
-    datasets there is no reason to ship 3 float32 channels per sample over
-    PCIe/the tunnel when 3 scalars suffice (4x less H2D).
+    With "abc" the coordinate channels are rebuilt ON DEVICE from the
+    lattice lengths — coordinate_grid is pure math (utils.py:88-94), so for
+    non-rotated datasets there is no reason to ship 3 float32 channels per
+    sample over PCIe/the tunnel when 3 scalars suffice (4x less H2D).  With
+    "coords" (rotated datasets) the channels ship as-is and concatenate to
+    the (possibly float16-shipped) density in-graph.
     """
     if "x" in batch:
         return batch["x"].astype(jnp.float32)
+    density = batch["density"][..., None].astype(jnp.float32)
+    if "coords" in batch:
+        return jnp.concatenate(
+            [density, batch["coords"].astype(jnp.float32)], axis=-1
+        )
     from icsg3d_tpu.config import GridSpec
     from icsg3d_tpu.ops.voxelize import coordinate_grid
 
     if grid is None:  # infer geometry from the density grid (default eps)
         grid = GridSpec(d=batch["density"].shape[1])
     coords = jax.vmap(lambda abc: coordinate_grid(abc, grid))(batch["abc"])
-    return jnp.concatenate(
-        [batch["density"][..., None].astype(jnp.float32), coords], axis=-1
-    )
+    return jnp.concatenate([density, coords], axis=-1)
 
 
 def _vae_losses(
@@ -176,8 +180,10 @@ def prepare_vae_batch(
     ship_dtype="float16" halves the density bytes on the wire; the step
     casts back to float32 on device before the (bfloat16) model compute, so
     the only loss is fp16's ~5e-4 relative rounding of a smooth Gaussian
-    field.  Epochs over a remote device link are transfer-bound, so this is
-    ~2x epoch wall time.
+    field.  The coordinate channels always ship float32 — they are the
+    lattice-parameter regression target (to_lattice_params reads them), so
+    quantizing them would bias the recovered lattice.  Epochs over a remote
+    device link are transfer-bound, so this is ~2x epoch wall time.
     """
     dt = np.dtype(ship_dtype)
     if device_coords:
@@ -186,9 +192,11 @@ def prepare_vae_batch(
             "abc": batch["lattice"][:, :3].astype(np.float32),
             "cond": cond.astype(np.float32),
         }
-    M = batch["density"][..., None].astype(dt)
-    x = np.concatenate([M, batch["coords"].astype(dt)], axis=-1)
-    return {"x": x, "cond": cond.astype(np.float32)}
+    return {
+        "density": batch["density"].astype(dt),
+        "coords": batch["coords"].astype(np.float32),
+        "cond": cond.astype(np.float32),
+    }
 
 
 def _mean_metrics(history):
@@ -280,6 +288,6 @@ def train_vae(
             )
             if improved and plot_dir and last_val_batch is not None:
                 _save_best_plots(model, state, last_val_batch, plot_dir, epoch)
-    if ckpt and latest_every > 1:
-        ckpt.save_latest(state)
+    if ckpt and latest_every > 1 and ckpt.last_latest_epoch != epochs - 1:
+        ckpt.save_latest(state)  # final save so --resume continues from the end
     return state, history

@@ -293,6 +293,8 @@ class TestCompositionStats:
         assert is_charge_balanced([11, 17])              # NaCl
         assert is_charge_balanced([20, 22, 8, 8, 8])     # CaTiO3
         assert is_charge_balanced([26, 26, 8, 8, 8])     # Fe2O3
+        # mixed valence: Fe3O4 = 2 Fe3+ + 1 Fe2+ (per-atom states)
+        assert is_charge_balanced([26, 26, 26, 8, 8, 8, 8])
         assert not is_charge_balanced([11, 11, 17])      # Na2Cl
         assert not is_charge_balanced([2, 8])            # HeO
         assert not is_charge_balanced([])

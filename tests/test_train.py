@@ -353,3 +353,32 @@ class TestSaveEpoch:
         assert ckpt.save_epoch(state, 1.0, epoch=3, latest_every=100)
         assert os.path.exists(latest)
         assert ckpt.best_metric == 1.0
+
+
+class TestShipDtype:
+    """float16 density shipping: coords stay float32, loss within fp16 noise."""
+
+    def test_vae_fp16_close_and_coords_f32(self, dataset):
+        from icsg3d_tpu.data.binning import bin_and_encode
+        from icsg3d_tpu.train import create_vae_state
+        from icsg3d_tpu.train.vae import make_vae_steps, prepare_vae_batch
+
+        model, state = create_vae_state(VAE_CFG, TC, jax.random.key(0))
+        _, eval_step = make_vae_steps(model)
+        _, cond, _ = bin_and_encode(
+            np.asarray(dataset.arrays["target"]), VAE_CFG.cond_bins
+        )
+        it = BatchIterator(
+            dataset, dataset.ids[:4], 4, fields=("density", "coords", "lattice"),
+            extra={"cond": cond[dataset.rows(dataset.ids[:4])]},
+        )
+        raw = next(iter(it))
+        mesh = make_mesh(n_data=4)
+        key = jax.random.key(3)
+        b32 = prepare_vae_batch(raw, raw["cond"], ship_dtype="float32")
+        b16 = prepare_vae_batch(raw, raw["cond"], ship_dtype="float16")
+        assert b16["density"].dtype == np.float16
+        assert b16["coords"].dtype == np.float32  # regression target stays f32
+        m32 = eval_step(state, shard_batch(b32, mesh), key)
+        m16 = eval_step(state, shard_batch(b16, mesh), key)
+        assert float(m16["loss"]) == pytest.approx(float(m32["loss"]), rel=2e-3)
