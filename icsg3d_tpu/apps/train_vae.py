@@ -53,8 +53,16 @@ def main(argv=None):
     p.add_argument("--ckpt", default="checkpoints/vae")
     args = p.parse_args(argv)
 
+    import time as _time
+
+    _t0 = _time.time()
+
+    def _mark(stage):
+        print(f"[startup] {stage}: {_time.time() - _t0:.1f}s", flush=True)
+
     ds = GridDataset(args.data)
     train_ids, val_ids = data_split(ds.ids, n=args.samples, n_rot=args.nrot)
+    _mark("dataset open + split")
     # trim to batch multiples (train_vae.py:108-111 semantics are automatic:
     # BatchIterator drops remainders)
 
@@ -67,6 +75,7 @@ def main(argv=None):
         batch_size=args.batch_size, learning_rate=args.lr, epochs=args.epochs
     )
     model, state = create_vae_state(cfg, tc, jax.random.key(args.seed))
+    _mark("vae init")
     if args.resume:
         from icsg3d_tpu.train.checkpoints import CheckpointManager
 
@@ -74,6 +83,7 @@ def main(argv=None):
         if _ck.has("latest"):
             state = _ck.restore(state, "latest")
             print(f"resumed from {args.ckpt}/latest at step {int(state.step)}")
+        _mark("resume restore")
 
     unet = unet_vars = None
     if args.unet_ckpt:
@@ -81,6 +91,7 @@ def main(argv=None):
             UNetConfig(num_classes=args.num_classes), args.unet_ckpt,
             grid_d=args.d,
         )
+        _mark("unet load")
 
     _, conds, _ = bin_and_encode(
         np.asarray(ds.arrays["target"]), args.cond_bins
