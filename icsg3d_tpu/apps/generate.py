@@ -177,11 +177,14 @@ def generate_structures(
     var: float = 0.5,
     pipe: PipelineConfig = PipelineConfig(),
     seed: int = 0,
+    keep_grids: bool = False,
 ) -> List[Dict]:
     """Sample around the base compound's posterior mean and decode to atoms.
 
     Returns one record per sample: {structure, lattice, atoms, coords,
-    valid, formula}.  Mirrors generate.py:181-267.
+    valid, formula}.  Mirrors generate.py:181-267.  keep_grids=True carries
+    the decoded density (float16) and segmented species (uint8) grids on
+    each record (the reference np.save'd both per sample, generate.py:299).
     """
     grid = pipe.grid
     encode = common.jit_vae_encode(vae_model, vae_vars)
@@ -213,6 +216,11 @@ def generate_structures(
 
         for i in range(n):
             rec: Dict = {"lattice": lattice[i].tolist(), "valid": False}
+            if keep_grids:
+                rec["density_grid"] = M[i, ..., 0].astype(np.float16)
+                rec["species_grid"] = np.where(
+                    binary[i] > 0, labels[i], 0
+                ).astype(np.uint8)
             try:
                 atoms, mu = watershed_clustering(
                     M[i, ..., 0],
@@ -368,7 +376,15 @@ def main(argv=None):
         help="use the fully-fused device pipeline (one XLA program per "
         "batch) instead of the per-sample host watershed",
     )
+    p.add_argument(
+        "--save-grids", action="store_true",
+        help="save each sample's decoded density and segmented species "
+        "grids as .npy (generate.py:299; host path only)",
+    )
     args = p.parse_args(argv)
+    if args.save_grids and args.fused:
+        p.error("--save-grids requires the host path (drop --fused): the "
+                "fused program keeps grids on device")
 
     from icsg3d_tpu.data.binning import bin_and_encode
     from icsg3d_tpu.data.store import GridDataset
@@ -399,6 +415,7 @@ def main(argv=None):
         var=args.var,
         pipe=pipe,
         seed=args.seed,
+        **({"keep_grids": True} if args.save_grids else {}),
     )
 
     if args.cgcnn_ckpt:
@@ -408,6 +425,8 @@ def main(argv=None):
     annotate_records(records, float(ds.arrays["target"][row]), args.target)
 
     os.makedirs(os.path.join(args.output, "cifs"), exist_ok=True)
+    if args.save_grids:
+        os.makedirs(os.path.join(args.output, "grids"), exist_ok=True)
     n_valid = n_balanced = 0
     rows = []
     for i, r in enumerate(records):
@@ -416,9 +435,21 @@ def main(argv=None):
             path = os.path.join(args.output, "cifs", f"gen-{i}.cif")
             write_cif(r["structure"], path)
             r["cif"] = path
+        if args.save_grids and "density_grid" in r:
+            np.save(
+                os.path.join(args.output, "grids", f"gen-{i}_density.npy"),
+                r["density_grid"],
+            )
+            np.save(
+                os.path.join(args.output, "grids", f"gen-{i}_species.npy"),
+                r["species_grid"],
+            )
         n_balanced += r.get("charge_balanced", 0)
         rows.append(
-            {k: v for k, v in r.items() if k not in ("structure",)}
+            {
+                k: v for k, v in r.items()
+                if k not in ("structure", "density_grid", "species_grid")
+            }
         )
     with open(os.path.join(args.output, "results.json"), "w") as f:
         json.dump(rows, f, indent=1)
