@@ -354,3 +354,21 @@ class TestGenerateAnnotations:
         text = path.read_text().splitlines()
         assert "charge_balanced" in text[0] and "formation_energy" in text[0]
         assert len(text) == 4  # header + 3 rows
+
+
+class TestSaveGrids:
+    def test_keep_grids_on_records(self, dataset, models):
+        vae_model, vae_vars, unet_model, unet_vars = models
+        _, conds, _ = bin_and_encode(np.asarray(dataset.arrays["target"]), 10)
+        records = generate_structures(
+            vae_model, vae_vars, unet_model, unet_vars,
+            np.asarray(dataset.arrays["density"][0]),
+            np.asarray(dataset.arrays["coords"][0]),
+            conds[0],
+            n_samples=2, batch_size=2, pipe=PIPE, keep_grids=True,
+        )
+        assert len(records) == 2
+        for r in records:
+            assert r["density_grid"].dtype == np.float16
+            assert r["species_grid"].dtype == np.uint8
+            assert r["density_grid"].shape == (8, 8, 8)
