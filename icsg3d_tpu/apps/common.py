@@ -55,40 +55,54 @@ def vae_config_from_args(args, grid) -> VAEConfig:
     )
 
 
+def _has_ckpt(checkpoint_dir: Optional[str], which: str):
+    if not checkpoint_dir:
+        return None
+    ckpt = CheckpointManager(checkpoint_dir)
+    return ckpt if ckpt.has(which) else None
+
+
 def load_unet(
     cfg: UNetConfig, checkpoint_dir: Optional[str], grid_d: int = 32,
     which: str = "best",
 ) -> Tuple[UNet3D, Dict]:
-    """U-Net + variables, restored from a checkpoint when one exists."""
+    """U-Net + variables, restored from a checkpoint when one exists.
+
+    When restoring, the state skeleton is built abstractly (host zeros) —
+    a real device init would compile and run the full model just to be
+    overwritten, a multi-minute cost over a remote device link.
+    """
+    ckpt = _has_ckpt(checkpoint_dir, which)
     model, state = create_unet_state(
-        cfg, TrainConfig(), jax.random.key(0), grid_d=grid_d
+        cfg, TrainConfig(), jax.random.key(0), grid_d=grid_d,
+        abstract=ckpt is not None,
     )
-    if checkpoint_dir:
-        ckpt = CheckpointManager(checkpoint_dir)
-        if ckpt.has(which):
-            state = ckpt.restore(state, which)
+    if ckpt is not None:
+        state = ckpt.restore(state, which)
     return model, {"params": state.params, "batch_stats": state.batch_stats}
 
 
 def load_vae(
     cfg: VAEConfig, checkpoint_dir: Optional[str], which: str = "best"
 ) -> Tuple[ConditionalDFCVAE, Dict]:
-    model, state = create_vae_state(cfg, TrainConfig(), jax.random.key(0))
-    if checkpoint_dir:
-        ckpt = CheckpointManager(checkpoint_dir)
-        if ckpt.has(which):
-            state = ckpt.restore(state, which)
+    ckpt = _has_ckpt(checkpoint_dir, which)
+    model, state = create_vae_state(
+        cfg, TrainConfig(), jax.random.key(0), abstract=ckpt is not None
+    )
+    if ckpt is not None:
+        state = ckpt.restore(state, which)
     return model, {"params": state.params, "batch_stats": state.batch_stats}
 
 
 def load_cgcnn(
     cfg: CGCNNConfig, checkpoint_dir: Optional[str], which: str = "best"
 ) -> Tuple[CGCNN, Dict]:
-    model, state = create_cgcnn_state(cfg, TrainConfig(), jax.random.key(0))
-    if checkpoint_dir:
-        ckpt = CheckpointManager(checkpoint_dir)
-        if ckpt.has(which):
-            state = ckpt.restore(state, which)
+    ckpt = _has_ckpt(checkpoint_dir, which)
+    model, state = create_cgcnn_state(
+        cfg, TrainConfig(), jax.random.key(0), abstract=ckpt is not None
+    )
+    if ckpt is not None:
+        state = ckpt.restore(state, which)
     return model, {"params": state.params}
 
 

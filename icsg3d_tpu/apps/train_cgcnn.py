@@ -109,14 +109,16 @@ def main(argv=None):
         return gen
 
     tc = TrainConfig(batch_size=args.batch_size, learning_rate=args.lr)
-    model, state = create_cgcnn_state(cfg, tc, jax.random.key(args.seed))
-    if args.resume:
-        from icsg3d_tpu.train.checkpoints import CheckpointManager
+    from icsg3d_tpu.train.checkpoints import CheckpointManager
 
-        _ck = CheckpointManager(args.ckpt)
-        if _ck.has("latest"):
-            state = _ck.restore(state, "latest")
-            print(f"resumed from {args.ckpt}/latest at step {int(state.step)}")
+    _ck = CheckpointManager(args.ckpt) if args.resume else None
+    resuming = _ck is not None and _ck.has("latest")
+    model, state = create_cgcnn_state(
+        cfg, tc, jax.random.key(args.seed), abstract=resuming
+    )
+    if resuming:
+        state = _ck.restore(state, "latest")
+        print(f"resumed from {args.ckpt}/latest at step {int(state.step)}")
     state, history = train_cgcnn(
         model, state, batches(train_idx), batches(val_idx),
         epochs=args.epochs, checkpoint_dir=args.ckpt,

@@ -52,14 +52,18 @@ def main(argv=None):
     tc = TrainConfig(
         batch_size=args.batch_size, learning_rate=args.lr, epochs=args.epochs
     )
-    model, state = create_unet_state(cfg, tc, jax.random.key(args.seed), args.d)
-    if args.resume:
-        from icsg3d_tpu.train.checkpoints import CheckpointManager
+    from icsg3d_tpu.train.checkpoints import CheckpointManager
 
-        _ck = CheckpointManager(args.ckpt)
-        if _ck.has("latest"):
-            state = _ck.restore(state, "latest")
-            print(f"resumed from {args.ckpt}/latest at step {int(state.step)}")
+    _ck = CheckpointManager(args.ckpt) if args.resume else None
+    resuming = _ck is not None and _ck.has("latest")
+    # resuming: abstract (host-zeros) skeleton — skip the device init that
+    # the restore would immediately overwrite
+    model, state = create_unet_state(
+        cfg, tc, jax.random.key(args.seed), args.d, abstract=resuming
+    )
+    if resuming:
+        state = _ck.restore(state, "latest")
+        print(f"resumed from {args.ckpt}/latest at step {int(state.step)}")
 
     # inverse-frequency weights over the TRAINING split only, zero class
     # zeroed (train_unet.py:114-119)

@@ -74,15 +74,19 @@ def main(argv=None):
     tc = TrainConfig(
         batch_size=args.batch_size, learning_rate=args.lr, epochs=args.epochs
     )
-    model, state = create_vae_state(cfg, tc, jax.random.key(args.seed))
-    _mark("vae init")
-    if args.resume:
-        from icsg3d_tpu.train.checkpoints import CheckpointManager
+    from icsg3d_tpu.train.checkpoints import CheckpointManager
 
-        _ck = CheckpointManager(args.ckpt)
-        if _ck.has("latest"):
-            state = _ck.restore(state, "latest")
-            print(f"resumed from {args.ckpt}/latest at step {int(state.step)}")
+    _ck = CheckpointManager(args.ckpt) if args.resume else None
+    resuming = _ck is not None and _ck.has("latest")
+    # resuming: abstract (host-zeros) skeleton — skip the device init that
+    # the restore would immediately overwrite
+    model, state = create_vae_state(
+        cfg, tc, jax.random.key(args.seed), abstract=resuming
+    )
+    _mark("vae init")
+    if resuming:
+        state = _ck.restore(state, "latest")
+        print(f"resumed from {args.ckpt}/latest at step {int(state.step)}")
         _mark("resume restore")
 
     unet = unet_vars = None

@@ -24,11 +24,13 @@ from icsg3d_tpu.train.state import ModelState
 
 
 def create_cgcnn_state(
-    cfg: CGCNNConfig, train_cfg: TrainConfig, rng
+    cfg: CGCNNConfig, train_cfg: TrainConfig, rng, abstract: bool = False
 ) -> Tuple[CGCNN, ModelState]:
+    """abstract=True builds a host-only zeros skeleton (no device init) —
+    for states about to be overwritten by a checkpoint restore."""
     model = CGCNN(cfg)
     B, N, M = 1, cfg.max_atoms, cfg.max_neighbors
-    variables = model.init(
+    init = lambda: model.init(
         rng,
         jnp.zeros((B, N, cfg.atom_input_dim)),
         jnp.full((B, N, M), cfg.radius),
@@ -36,7 +38,9 @@ def create_cgcnn_state(
         jnp.ones((B, N)),
     )
     tx = optax.adam(train_cfg.learning_rate)
-    return model, ModelState.create(model.apply, variables, tx)
+    if abstract:
+        return model, ModelState.create_abstract(model.apply, init, tx)
+    return model, ModelState.create(model.apply, init(), tx)
 
 
 def _cgcnn_losses(model, params, batch):

@@ -80,9 +80,18 @@ class CheckpointManager:
         return improved
 
     def restore(self, state, which: str = "best"):
-        """Restore a saved tree into an existing state (shape template)."""
+        """Restore a saved tree into an existing state (shape template).
+
+        The template only provides shapes/dtypes, so it is built as host
+        zeros from leaf metadata — never device_get (which would round-trip
+        the full dummy state through a possibly-remote device for nothing).
+        """
+        import numpy as np
+
         path = os.path.join(self.directory, which)
-        template = jax.device_get(self._tree(state))
+        template = jax.tree_util.tree_map(
+            lambda x: np.zeros(x.shape, x.dtype), self._tree(state)
+        )
         tree = self._ckpt.restore(path, item=template)
         return state.replace(
             step=jax.numpy.asarray(tree["step"]),

@@ -35,6 +35,35 @@ class ModelState(struct.PyTreeNode):
             apply_fn=apply_fn,
         )
 
+    @classmethod
+    def create_abstract(cls, apply_fn, init_fn, tx):
+        """Host-only state skeleton: every leaf is a numpy zeros array.
+
+        ``init_fn`` is the (un-executed) model init closure; its output
+        shapes come from jax.eval_shape, so NO device compile, execution, or
+        transfer happens.  Use when the state is about to be overwritten by
+        a checkpoint restore — on a remote-tunneled device the real init
+        costs a compile + a full-state device round trip for arrays that are
+        immediately thrown away.
+        """
+        import numpy as np
+
+        var_shapes = jax.eval_shape(init_fn)
+        zeros = lambda tree: jax.tree_util.tree_map(
+            lambda s: np.zeros(s.shape, s.dtype), tree
+        )
+        params = zeros(var_shapes["params"])
+        batch_stats = zeros(var_shapes.get("batch_stats", FrozenDict()))
+        opt_shapes = jax.eval_shape(tx.init, var_shapes["params"])
+        return cls(
+            step=np.zeros((), np.int32),
+            params=params,
+            batch_stats=batch_stats,
+            opt_state=zeros(opt_shapes),
+            tx=tx,
+            apply_fn=apply_fn,
+        )
+
     @property
     def variables(self):
         if self.batch_stats:

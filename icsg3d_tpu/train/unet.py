@@ -35,12 +35,17 @@ def create_unet_state(
     train_cfg: TrainConfig,
     rng,
     grid_d: int = 32,
+    abstract: bool = False,
 ) -> Tuple[UNet3D, ModelState]:
+    """abstract=True builds a host-only zeros skeleton (no device init) —
+    for states about to be overwritten by a checkpoint restore."""
     model = UNet3D(cfg)
     x = jnp.zeros((1, grid_d, grid_d, grid_d, cfg.in_channels), jnp.float32)
-    variables = model.init(rng, x, train=False)
     tx = optax.adam(train_cfg.learning_rate)
-    return model, ModelState.create(model.apply, variables, tx)
+    init = lambda: model.init(rng, x, train=False)
+    if abstract:
+        return model, ModelState.create_abstract(model.apply, init, tx)
+    return model, ModelState.create(model.apply, init(), tx)
 
 
 def _unet_losses(model, params, batch_stats, batch, class_weights, train: bool):

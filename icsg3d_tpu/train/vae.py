@@ -29,16 +29,20 @@ from icsg3d_tpu.train.state import ModelState
 
 
 def create_vae_state(
-    cfg: VAEConfig, train_cfg: TrainConfig, rng
+    cfg: VAEConfig, train_cfg: TrainConfig, rng, abstract: bool = False
 ) -> Tuple[ConditionalDFCVAE, ModelState]:
+    """abstract=True builds a host-only zeros skeleton (no device init) —
+    for states about to be overwritten by a checkpoint restore."""
     model = ConditionalDFCVAE(cfg)
     d = cfg.grid.d
     x = jnp.zeros((1, d, d, d, cfg.grid.channels), jnp.float32)
     cond = jnp.zeros((1, cfg.cond_bins), jnp.float32)
     init_rng, sample_rng = jax.random.split(jax.random.fold_in(rng, 0))
-    variables = model.init(init_rng, x, cond, sample_rng, train=False)
     tx = optax.adam(train_cfg.learning_rate)
-    return model, ModelState.create(model.apply, variables, tx)
+    init = lambda: model.init(init_rng, x, cond, sample_rng, train=False)
+    if abstract:
+        return model, ModelState.create_abstract(model.apply, init, tx)
+    return model, ModelState.create(model.apply, init(), tx)
 
 
 def _perceptual_features(unet: UNet3D, unet_variables, x, taps):

@@ -382,3 +382,52 @@ class TestShipDtype:
         m32 = eval_step(state, shard_batch(b32, mesh), key)
         m16 = eval_step(state, shard_batch(b16, mesh), key)
         assert float(m16["loss"]) == pytest.approx(float(m32["loss"]), rel=2e-3)
+
+
+class TestAbstractState:
+    """Abstract (host-zeros) state skeletons match the concrete init's
+    structure, so checkpoint restore works without a device init."""
+
+    def test_structure_and_shapes_match(self):
+        model, concrete = create_unet_state(
+            UNET_CFG, TC, jax.random.key(0), grid_d=8
+        )
+        _, skeleton = create_unet_state(
+            UNET_CFG, TC, jax.random.key(0), grid_d=8, abstract=True
+        )
+        ct = jax.tree_util.tree_structure(
+            (concrete.params, concrete.batch_stats, concrete.opt_state)
+        )
+        st = jax.tree_util.tree_structure(
+            (skeleton.params, skeleton.batch_stats, skeleton.opt_state)
+        )
+        assert ct == st
+        for c, s in zip(
+            jax.tree_util.tree_leaves(
+                (concrete.params, concrete.batch_stats, concrete.opt_state)
+            ),
+            jax.tree_util.tree_leaves(
+                (skeleton.params, skeleton.batch_stats, skeleton.opt_state)
+            ),
+        ):
+            assert np.shape(c) == np.shape(s)
+            assert np.asarray(c).dtype == np.asarray(s).dtype
+            assert isinstance(s, np.ndarray)  # host-only
+
+    def test_restore_into_abstract_matches(self, tmp_path):
+        model, state = create_unet_state(
+            UNET_CFG, TC, jax.random.key(7), grid_d=8
+        )
+        ckpt = CheckpointManager(str(tmp_path / "ck"))
+        ckpt.save_latest(state)
+        _, skeleton = create_unet_state(
+            UNET_CFG, TC, jax.random.key(0), grid_d=8, abstract=True
+        )
+        restored = CheckpointManager(str(tmp_path / "ck")).restore(
+            skeleton, "latest"
+        )
+        for a, b in zip(
+            jax.tree_util.tree_leaves(state.params),
+            jax.tree_util.tree_leaves(restored.params),
+        ):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
