@@ -145,6 +145,81 @@ def main():
         except Exception:
             gen_rate = None
 
+    # Tertiary metrics: U-Net and CGCNN training throughput (the other two
+    # reference training workloads, train_unet.py / train_cgcnn.py).
+    unet_rate = cgcnn_rate = None
+    if os.environ.get("BENCH_SKIP_EXTRAS") != "1":
+        try:
+            from icsg3d_tpu.train.unet import make_unet_steps
+
+            ustep, _ = make_unet_steps(unet, class_weights=None)
+            ubatch = shard_batch(
+                {
+                    "x": rng.random((batch_size, d, d, d, 4)).astype(
+                        np.float32
+                    ),
+                    "labels": rng.integers(
+                        0, 95, (batch_size, d, d, d)
+                    ).astype(np.int32),
+                },
+                mesh,
+            )
+            ustate2, umets = ustep(ustate, ubatch)
+            for _ in range(2):
+                ustate2, umets = ustep(ustate2, ubatch)
+            jax.block_until_ready(umets["loss"])
+            t0 = time.perf_counter()
+            for _ in range(10):
+                ustate2, umets = ustep(ustate2, ubatch)
+            jax.block_until_ready(umets["loss"])
+            unet_rate = batch_size * 10 / (time.perf_counter() - t0) / n_chips
+        except Exception:
+            unet_rate = None
+        try:
+            from icsg3d_tpu.config import CGCNNConfig
+            from icsg3d_tpu.train.cgcnn import (
+                create_cgcnn_state,
+                make_cgcnn_steps,
+            )
+
+            ccfg = CGCNNConfig()
+            cbs = 256
+            cmodel, cstate = create_cgcnn_state(
+                ccfg, TrainConfig(batch_size=cbs, learning_rate=1e-3),
+                jax.random.key(2),
+            )
+            cstep, _ = make_cgcnn_steps(cmodel)
+            cbatch = shard_batch(
+                {
+                    "atom_fea": rng.random(
+                        (cbs, ccfg.max_atoms, 93)
+                    ).astype(np.float32),
+                    "nbr_dist": rng.uniform(
+                        1, 8, (cbs, ccfg.max_atoms, ccfg.max_neighbors)
+                    ).astype(np.float32),
+                    "nbr_idx": rng.integers(
+                        0, ccfg.max_atoms,
+                        (cbs, ccfg.max_atoms, ccfg.max_neighbors),
+                    ).astype(np.int32),
+                    "atom_mask": np.ones(
+                        (cbs, ccfg.max_atoms), np.float32
+                    ),
+                    "target": rng.normal(size=(cbs,)).astype(np.float32),
+                },
+                mesh,
+            )
+            cstate2, cmets = cstep(cstate, cbatch)
+            for _ in range(2):
+                cstate2, cmets = cstep(cstate2, cbatch)
+            jax.block_until_ready(cmets["loss"])
+            t0 = time.perf_counter()
+            for _ in range(10):
+                cstate2, cmets = cstep(cstate2, cbatch)
+            jax.block_until_ready(cmets["loss"])
+            cgcnn_rate = cbs * 10 / (time.perf_counter() - t0) / n_chips
+        except Exception:
+            cgcnn_rate = None
+
     print(
         json.dumps(
             {
@@ -163,6 +238,12 @@ def main():
                     "flops_per_step": flops_per_step,
                     "gen_samples_per_sec_per_chip": (
                         round(gen_rate, 2) if gen_rate else None
+                    ),
+                    "unet_train_grids_per_sec_per_chip": (
+                        round(unet_rate, 2) if unet_rate else None
+                    ),
+                    "cgcnn_train_graphs_per_sec_per_chip": (
+                        round(cgcnn_rate, 2) if cgcnn_rate else None
                     ),
                     "loss": float(jax.device_get(mets["loss"])),
                     "platform": jax.devices()[0].platform,
