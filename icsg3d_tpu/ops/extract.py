@@ -107,24 +107,22 @@ def mode_filter(species: jnp.ndarray, num_classes: int) -> jnp.ndarray:
     output before connected components (a U-Net's per-voxel argmax speckles
     at blob boundaries, which would shatter same-species CC into fragments).
     Voxels whose neighborhood holds no nonzero labels become 0.
+
+    One-hot + a single reduce_window over all classes at once — a per-class
+    scan of box sums costs num_classes full-grid passes and doubled the
+    fused generation pipeline at 95 classes.  Neighborhood counts are <= 27
+    so bfloat16 holds them exactly; ties go to the lowest class index
+    (argmax takes the first maximum), matching the sequential version.
     """
     species = species.astype(jnp.int32)
-
-    def body(carry, c):
-        best_count, best_label = carry
-        cnt = _box_sum((species == c).astype(jnp.float32))
-        better = cnt > best_count
-        return (
-            jnp.where(better, cnt, best_count),
-            jnp.where(better, c, best_label),
-        ), None
-
-    init = (jnp.zeros(species.shape, jnp.float32),
-            jnp.zeros(species.shape, jnp.int32))
-    (counts, labels), _ = jax.lax.scan(
-        body, init, jnp.arange(1, num_classes, dtype=jnp.int32)
+    onehot = jax.nn.one_hot(species, num_classes, dtype=jnp.bfloat16)
+    counts = jax.lax.reduce_window(
+        onehot, jnp.bfloat16(0), jax.lax.add,
+        (3, 3, 3, 1), (1, 1, 1, 1), "SAME",
     )
-    return jnp.where(counts > 0, labels, 0)
+    counts = counts.at[..., 0].set(0)  # background never wins the vote
+    best = jnp.argmax(counts, axis=-1).astype(jnp.int32)
+    return jnp.where(jnp.max(counts, axis=-1) > 0, best, 0)
 
 
 @functools.partial(
