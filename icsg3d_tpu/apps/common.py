@@ -55,7 +55,8 @@ def vae_config_from_args(args, grid) -> VAEConfig:
     )
 
 
-def _has_ckpt(checkpoint_dir: Optional[str], which: str):
+def checkpoint_if_exists(checkpoint_dir: Optional[str], which: str = "best"):
+    """CheckpointManager when ``which`` exists under the dir, else None."""
     if not checkpoint_dir:
         return None
     ckpt = CheckpointManager(checkpoint_dir)
@@ -72,7 +73,7 @@ def load_unet(
     a real device init would compile and run the full model just to be
     overwritten, a multi-minute cost over a remote device link.
     """
-    ckpt = _has_ckpt(checkpoint_dir, which)
+    ckpt = checkpoint_if_exists(checkpoint_dir, which)
     model, state = create_unet_state(
         cfg, TrainConfig(), jax.random.key(0), grid_d=grid_d,
         abstract=ckpt is not None,
@@ -85,7 +86,7 @@ def load_unet(
 def load_vae(
     cfg: VAEConfig, checkpoint_dir: Optional[str], which: str = "best"
 ) -> Tuple[ConditionalDFCVAE, Dict]:
-    ckpt = _has_ckpt(checkpoint_dir, which)
+    ckpt = checkpoint_if_exists(checkpoint_dir, which)
     model, state = create_vae_state(
         cfg, TrainConfig(), jax.random.key(0), abstract=ckpt is not None
     )
@@ -97,7 +98,7 @@ def load_vae(
 def load_cgcnn(
     cfg: CGCNNConfig, checkpoint_dir: Optional[str], which: str = "best"
 ) -> Tuple[CGCNN, Dict]:
-    ckpt = _has_ckpt(checkpoint_dir, which)
+    ckpt = checkpoint_if_exists(checkpoint_dir, which)
     model, state = create_cgcnn_state(
         cfg, TrainConfig(), jax.random.key(0), abstract=ckpt is not None
     )

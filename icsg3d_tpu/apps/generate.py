@@ -218,9 +218,12 @@ def generate_structures(
             rec: Dict = {"lattice": lattice[i].tolist(), "valid": False}
             if keep_grids:
                 rec["density_grid"] = M[i, ..., 0].astype(np.float16)
-                rec["species_grid"] = np.where(
-                    binary[i] > 0, labels[i], 0
-                ).astype(np.uint8)
+                sg = np.where(binary[i] > 0, labels[i], 0)
+                # uint8 covers every real atomic number; fall back rather
+                # than silently wrap exotic --num-classes > 255 configs
+                rec["species_grid"] = sg.astype(
+                    np.uint8 if sg.max(initial=0) < 256 else np.uint16
+                )
             try:
                 atoms, mu = watershed_clustering(
                     M[i, ..., 0],

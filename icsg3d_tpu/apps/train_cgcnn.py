@@ -13,6 +13,8 @@ import os
 import jax
 import numpy as np
 
+from icsg3d_tpu.apps import common
+
 from icsg3d_tpu.config import CGCNNConfig, TrainConfig
 from icsg3d_tpu.data.graphs import GraphSpec, featurize_batch
 from icsg3d_tpu.train.cgcnn import create_cgcnn_state, train_cgcnn
@@ -109,10 +111,10 @@ def main(argv=None):
         return gen
 
     tc = TrainConfig(batch_size=args.batch_size, learning_rate=args.lr)
-    from icsg3d_tpu.train.checkpoints import CheckpointManager
-
-    _ck = CheckpointManager(args.ckpt) if args.resume else None
-    resuming = _ck is not None and _ck.has("latest")
+    _ck = common.checkpoint_if_exists(
+        args.ckpt if args.resume else None, "latest"
+    )
+    resuming = _ck is not None
     model, state = create_cgcnn_state(
         cfg, tc, jax.random.key(args.seed), abstract=resuming
     )

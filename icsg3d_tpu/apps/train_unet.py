@@ -11,6 +11,8 @@ import os
 import jax
 import numpy as np
 
+from icsg3d_tpu.apps import common
+
 from icsg3d_tpu.config import TrainConfig, UNetConfig
 from icsg3d_tpu.data.class_weights import inverse_frequency_weights
 from icsg3d_tpu.data.splits import data_split
@@ -52,10 +54,10 @@ def main(argv=None):
     tc = TrainConfig(
         batch_size=args.batch_size, learning_rate=args.lr, epochs=args.epochs
     )
-    from icsg3d_tpu.train.checkpoints import CheckpointManager
-
-    _ck = CheckpointManager(args.ckpt) if args.resume else None
-    resuming = _ck is not None and _ck.has("latest")
+    _ck = common.checkpoint_if_exists(
+        args.ckpt if args.resume else None, "latest"
+    )
+    resuming = _ck is not None
     # resuming: abstract (host-zeros) skeleton — skip the device init that
     # the restore would immediately overwrite
     model, state = create_unet_state(

@@ -74,10 +74,10 @@ def main(argv=None):
     tc = TrainConfig(
         batch_size=args.batch_size, learning_rate=args.lr, epochs=args.epochs
     )
-    from icsg3d_tpu.train.checkpoints import CheckpointManager
-
-    _ck = CheckpointManager(args.ckpt) if args.resume else None
-    resuming = _ck is not None and _ck.has("latest")
+    _ck = common.checkpoint_if_exists(
+        args.ckpt if args.resume else None, "latest"
+    )
+    resuming = _ck is not None
     # resuming: abstract (host-zeros) skeleton — skip the device init that
     # the restore would immediately overwrite
     model, state = create_vae_state(

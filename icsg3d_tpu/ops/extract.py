@@ -95,12 +95,6 @@ def connected_components_same_value(species: jnp.ndarray) -> jnp.ndarray:
     return labels
 
 
-def _box_sum(x):
-    """Sum over each voxel's 3^3 neighborhood (zero-padded edges)."""
-    return jax.lax.reduce_window(
-        x, 0.0, jax.lax.add, (3, 3, 3), (1, 1, 1), "SAME"
-    )
-
 
 def mode_filter(species: jnp.ndarray, num_classes: int) -> jnp.ndarray:
     """3^3 majority vote over nonzero labels — denoises patchy segmenter

@@ -40,9 +40,13 @@ def create_unet_state(
     """abstract=True builds a host-only zeros skeleton (no device init) —
     for states about to be overwritten by a checkpoint restore."""
     model = UNet3D(cfg)
-    x = jnp.zeros((1, grid_d, grid_d, grid_d, cfg.in_channels), jnp.float32)
     tx = optax.adam(train_cfg.learning_rate)
-    init = lambda: model.init(rng, x, train=False)
+
+    def init():
+        x = jnp.zeros(
+            (1, grid_d, grid_d, grid_d, cfg.in_channels), jnp.float32
+        )
+        return model.init(rng, x, train=False)
     if abstract:
         return model, ModelState.create_abstract(model.apply, init, tx)
     return model, ModelState.create(model.apply, init(), tx)

@@ -35,11 +35,15 @@ def create_vae_state(
     for states about to be overwritten by a checkpoint restore."""
     model = ConditionalDFCVAE(cfg)
     d = cfg.grid.d
-    x = jnp.zeros((1, d, d, d, cfg.grid.channels), jnp.float32)
-    cond = jnp.zeros((1, cfg.cond_bins), jnp.float32)
-    init_rng, sample_rng = jax.random.split(jax.random.fold_in(rng, 0))
     tx = optax.adam(train_cfg.learning_rate)
-    init = lambda: model.init(init_rng, x, cond, sample_rng, train=False)
+
+    def init():
+        # everything device-touching stays inside: eval_shape traces this
+        # for free on the abstract path
+        x = jnp.zeros((1, d, d, d, cfg.grid.channels), jnp.float32)
+        cond = jnp.zeros((1, cfg.cond_bins), jnp.float32)
+        init_rng, sample_rng = jax.random.split(jax.random.fold_in(rng, 0))
+        return model.init(init_rng, x, cond, sample_rng, train=False)
     if abstract:
         return model, ModelState.create_abstract(model.apply, init, tx)
     return model, ModelState.create(model.apply, init(), tx)

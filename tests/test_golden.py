@@ -1,9 +1,10 @@
 """Golden-value regression tests (SURVEY §4): tiny fixed-seed forward passes
 of each model family against stored oracles.
 
-The fixtures are self-generated (tests/golden/*.npz, committed): the first
-run of ``make_golden.py`` recorded the outputs of the current implementation;
-these tests pin them so refactors that change numerics are caught.  All
+The fixtures are self-generated (tests/golden/*.npz, committed): a test run
+with a missing fixture records the current implementation's outputs and
+skips; later runs pin them so refactors that change numerics are caught.
+To re-record intentionally, delete the .npz and rerun.  All
 float32 on CPU for determinism.
 """
 
