@@ -245,7 +245,11 @@ def main():
                     "cgcnn_train_graphs_per_sec_per_chip": (
                         round(cgcnn_rate, 2) if cgcnn_rate else None
                     ),
-                    "loss": float(jax.device_get(mets["loss"])),
+                    # loss of a fresh-init model on random synthetic grids —
+                    # a throughput-run sanity value, NOT a trained-model loss
+                    "untrained_random_data_loss": float(
+                        jax.device_get(mets["loss"])
+                    ),
                     "platform": jax.devices()[0].platform,
                 },
             }

@@ -56,11 +56,26 @@ def vae_config_from_args(args, grid) -> VAEConfig:
 
 
 def checkpoint_if_exists(checkpoint_dir: Optional[str], which: str = "best"):
-    """CheckpointManager when ``which`` exists under the dir, else None."""
+    """CheckpointManager when ``which`` exists under the dir, else None.
+
+    Probes with a plain path check BEFORE constructing the manager: the
+    CheckpointManager constructor mkdirs its directory, so probing a typo'd
+    --*-ckpt path through it would silently create an empty directory.
+    """
     if not checkpoint_dir:
         return None
-    ckpt = CheckpointManager(checkpoint_dir)
-    return ckpt if ckpt.has(which) else None
+    import os as _os
+    import sys as _sys
+
+    if not _os.path.exists(_os.path.join(checkpoint_dir, which)):
+        if _os.path.isdir(checkpoint_dir):
+            print(
+                f"warning: checkpoint dir {checkpoint_dir!r} has no "
+                f"{which!r} checkpoint; using fresh weights",
+                file=_sys.stderr,
+            )
+        return None
+    return CheckpointManager(checkpoint_dir)
 
 
 def load_unet(

@@ -30,6 +30,17 @@ from icsg3d_tpu.ops.grid import (
 from icsg3d_tpu.ops.segmentation import watershed_clustering
 
 
+def _sanitize_nonfinite(obj):
+    """Replace non-finite floats with None so json.dump emits valid JSON."""
+    if isinstance(obj, float):
+        return obj if np.isfinite(obj) else None
+    if isinstance(obj, dict):
+        return {k: _sanitize_nonfinite(v) for k, v in obj.items()}
+    if isinstance(obj, list):
+        return [_sanitize_nonfinite(v) for v in obj]
+    return obj
+
+
 def evaluate_reconstructions(
     vae_model,
     vae_vars,
@@ -215,7 +226,9 @@ def main(argv=None):
     print(json.dumps(summary, indent=1))
     if args.output:
         with open(args.output, "w") as f:
-            json.dump(results, f, indent=1)
+            # strict-JSON safety: inf/NaN (possible per-sample EMDs on empty
+            # prediction sets) would serialize as non-standard tokens
+            json.dump(_sanitize_nonfinite(results), f, indent=1)
     if args.plots:
         save_eval_plots(results, args.plots)
 

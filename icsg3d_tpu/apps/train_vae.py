@@ -51,6 +51,9 @@ def main(argv=None):
     p.add_argument("--resume", action="store_true",
                    help="resume from the latest checkpoint in --ckpt")
     p.add_argument("--ckpt", default="checkpoints/vae")
+    p.add_argument("--verbose-startup", action="store_true",
+                   help="print per-stage startup timings (dataset open, "
+                        "init/restore, U-Net load)")
     args = p.parse_args(argv)
 
     import time as _time
@@ -58,7 +61,8 @@ def main(argv=None):
     _t0 = _time.time()
 
     def _mark(stage):
-        print(f"[startup] {stage}: {_time.time() - _t0:.1f}s", flush=True)
+        if args.verbose_startup:
+            print(f"[startup] {stage}: {_time.time() - _t0:.1f}s", flush=True)
 
     ds = GridDataset(args.data)
     train_ids, val_ids = data_split(ds.ids, n=args.samples, n_rot=args.nrot)

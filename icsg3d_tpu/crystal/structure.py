@@ -131,8 +131,13 @@ class Structure:
     # -- geometry / validity -------------------------------------------------
 
     def min_interatomic_distance(self) -> float:
-        """Minimum pairwise distance including periodic images."""
-        if len(self.sites) < 2 and len(self.sites) == 0:
+        """Minimum pairwise distance including periodic images.
+
+        A single-site structure is NOT a special case: its minimum distance
+        is the distance to its own periodic images (the shortest lattice
+        translation), which the shift loop below computes.
+        """
+        if len(self.sites) == 0:
             return np.inf
         frac = self.frac_coords % 1.0
         shifts = np.array(

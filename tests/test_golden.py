@@ -1,11 +1,20 @@
-"""Golden-value regression tests (SURVEY §4): tiny fixed-seed forward passes
-of each model family against stored oracles.
+"""Golden-value REGRESSION tests: tiny fixed-seed forward passes of each
+model family against stored fixtures.
 
-The fixtures are self-generated (tests/golden/*.npz, committed): a test run
-with a missing fixture records the current implementation's outputs and
-skips; later runs pin them so refactors that change numerics are caught.
-To re-record intentionally, delete the .npz and rerun.  All
-float32 on CPU for determinism.
+These are refactor armor, NOT reference-parity oracles: the fixtures are
+self-generated (tests/golden/*.npz, committed) — a test run with a missing
+fixture records the current implementation's outputs and skips; later runs
+pin them so refactors that change numerics are caught.  To re-record
+intentionally, delete the .npz and rerun.  All float32 on CPU for
+determinism.
+
+True Keras-model-level parity with the reference is unobtainable in this
+environment (its pretrained weights are absent LFS pointers and its
+Keras 2.3/TF 2.1 stack cannot run here).  The real parity surface is
+pipeline-level and lives elsewhere: voxelizer math vs a transcribed numpy
+oracle (tests/test_voxelize.py), loss/metric definitions and label-form
+equivalence (tests/test_models.py), watershed contract (tests/
+test_segmentation.py), EMD Hungarian parity (tests/test_apps.py).
 """
 
 import os
