@@ -22,13 +22,19 @@ Algorithm:
    masked segment means over voxel coordinates; the species of a region is
    its (constant) label value.
 
-Raw density-peak finding does NOT work here: light atoms sitting on a heavy
-neighbor's Gaussian shoulder have no local density maximum of their own
-(an O next to Ti in a perovskite, for instance).  The species grid already
-partitions voxels by nearest site, which is the signal the reference's
-watershed recovers geometrically.  Known divergence: two touching regions
-of the SAME species merge into one slot here; the host path splits them by
-erosion, and remains the canonical implementation for that case.
+Raw density-peak finding alone does NOT work here: light atoms sitting on a
+heavy neighbor's Gaussian shoulder have no local density maximum of their
+own (an O next to Ti in a perovskite, for instance).  The species grid
+already partitions voxels by nearest site, which is the signal the
+reference's watershed recovers geometrically.  But WITHIN one same-species
+component the shoulder problem disappears — equal species means equal
+Gaussian weight and width, so every constituent atom contributes its own
+local maximum.  Step 1b below therefore splits merged same-species
+components by their density peaks: per-component local maxima become seeds,
+and a bounded multi-source BFS relabels each component voxel to its
+nearest seed (the device analog of the reference's erosion + marker
+watershed split, watershed.py:98-144).  The host path
+(ops/segmentation.py) remains the reference-parity implementation.
 """
 
 from __future__ import annotations
@@ -96,6 +102,110 @@ def connected_components_same_value(species: jnp.ndarray) -> jnp.ndarray:
 
 
 
+def density_peaks(
+    density: jnp.ndarray,
+    cc_labels: jnp.ndarray,
+    fg: jnp.ndarray,
+    window: int = 2,
+) -> jnp.ndarray:
+    """Per-component density local maxima (seed mask for splitting).
+
+    A foreground voxel is a peak when no voxel of the SAME connected
+    component within a (2*window+1)^3 neighborhood lexicographically
+    dominates it on (density, flat index).  The index tie-break collapses
+    flat plateaus to a single seed without epsilon hacks, and the
+    same-component restriction means a component's own maximum can never be
+    suppressed by a taller neighboring blob — every component keeps >= 1
+    seed, so splitting never loses atoms.
+
+    ``window=2`` (a 5^3 neighborhood) suppresses shallow decoder ripples
+    within 2 voxels of a stronger peak while keeping genuine atom pairs
+    (>= 5-10 voxels apart at 32^3 resolutions) separate.
+    """
+    shape = density.shape
+    den = density.astype(jnp.float32)
+    idx = (
+        jax.lax.broadcasted_iota(jnp.int32, shape, 0) * shape[1] * shape[2]
+        + jax.lax.broadcasted_iota(jnp.int32, shape, 1) * shape[2]
+        + jax.lax.broadcasted_iota(jnp.int32, shape, 2)
+    )
+    dominated = jnp.zeros(shape, bool)
+    offsets = [
+        (dx, dy, dz)
+        for dx in range(-window, window + 1)
+        for dy in range(-window, window + 1)
+        for dz in range(-window, window + 1)
+        if (dx, dy, dz) != (0, 0, 0)
+    ]
+    for dx, dy, dz in offsets:
+        den_n = den
+        cc_n = cc_labels
+        idx_n = idx
+        in_bounds = jnp.ones(shape, bool)
+        for axis, shift in ((0, dx), (1, dy), (2, dz)):
+            if shift == 0:
+                continue
+            den_n = jnp.roll(den_n, shift, axis=axis)
+            cc_n = jnp.roll(cc_n, shift, axis=axis)
+            idx_n = jnp.roll(idx_n, shift, axis=axis)
+            d = shape[axis]
+            ax_idx = jax.lax.broadcasted_iota(jnp.int32, shape, axis)
+            edge = (ax_idx < shift) if shift > 0 else (ax_idx >= d + shift)
+            in_bounds = in_bounds & ~edge
+        same = in_bounds & (cc_n == cc_labels)
+        dom = same & ((den_n > den) | ((den_n == den) & (idx_n > idx)))
+        dominated = dominated | dom
+    return fg & ~dominated
+
+
+def nearest_seed_labels(
+    seeds: jnp.ndarray, cc_labels: jnp.ndarray, fg: jnp.ndarray
+) -> jnp.ndarray:
+    """Relabel each foreground voxel to its nearest seed's flat index.
+
+    Multi-source BFS (6-connectivity, restricted to each voxel's own
+    connected component) in a ``lax.while_loop`` — the same roll/min
+    iteration pattern as the CC pass, converging in O(component diameter)
+    rounds.  Equidistant ties resolve by the fixed neighbor-visit order
+    (deterministic; the reference watershed's flood order is equally
+    arbitrary at ties).  Background and unreached voxels get ``n_vox``.
+    """
+    shape = seeds.shape
+    n_vox = shape[0] * shape[1] * shape[2]
+    big = jnp.int32(n_vox)
+    idx = (
+        jax.lax.broadcasted_iota(jnp.int32, shape, 0) * shape[1] * shape[2]
+        + jax.lax.broadcasted_iota(jnp.int32, shape, 1) * shape[2]
+        + jax.lax.broadcasted_iota(jnp.int32, shape, 2)
+    )
+    lab0 = jnp.where(seeds & fg, idx, big)
+    dist0 = jnp.where(seeds & fg, jnp.int32(0), big)
+
+    def body(state):
+        lab, dist, _ = state
+        new_lab, new_dist = lab, dist
+        for axis in range(3):
+            for shift in (1, -1):
+                lab_n = jnp.roll(new_lab, shift, axis=axis)
+                dist_n = jnp.roll(new_dist, shift, axis=axis)
+                cc_n = jnp.roll(cc_labels, shift, axis=axis)
+                d = shape[axis]
+                ax_idx = jax.lax.broadcasted_iota(jnp.int32, shape, axis)
+                edge = (ax_idx == 0) if shift == 1 else (ax_idx == d - 1)
+                valid = fg & ~edge & (cc_n == cc_labels) & (lab_n != big)
+                cand = jnp.where(valid, dist_n + 1, big)
+                better = cand < new_dist
+                new_lab = jnp.where(better, lab_n, new_lab)
+                new_dist = jnp.where(better, cand, new_dist)
+        changed = jnp.any(new_dist != dist)
+        return new_lab, new_dist, changed
+
+    lab, _, _ = jax.lax.while_loop(
+        lambda s: s[2], body, (lab0, dist0, jnp.bool_(True))
+    )
+    return lab
+
+
 def mode_filter(species: jnp.ndarray, num_classes: int) -> jnp.ndarray:
     """3^3 majority vote over nonzero labels — denoises patchy segmenter
     output before connected components (a U-Net's per-voxel argmax speckles
@@ -120,15 +230,19 @@ def mode_filter(species: jnp.ndarray, num_classes: int) -> jnp.ndarray:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("max_atoms", "min_voxels", "smooth_classes")
+    jax.jit,
+    static_argnames=("max_atoms", "min_voxels", "smooth_classes",
+                     "split_peaks", "peak_window"),
 )
 def extract_atoms(
-    density: jnp.ndarray,   # (d, d, d) float (unused by CC; kept for tie-breaks)
+    density: jnp.ndarray,   # (d, d, d) float (drives peak splitting)
     species: jnp.ndarray,   # (d, d, d) int labels (0 = background)
     mask: jnp.ndarray,      # (d, d, d) binary occupancy
     max_atoms: int = 64,
     min_voxels: int = 4,
     smooth_classes: int = 0,
+    split_peaks: bool = False,
+    peak_window: int = 2,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Fixed-shape atom extraction.
 
@@ -139,13 +253,25 @@ def extract_atoms(
     smooth_classes > 0 applies the 3^3 mode filter with that class count
     before CC — use it when the species grid comes from a segmentation
     model rather than the voxelizer.
+
+    split_peaks=True splits merged same-species components at their density
+    local maxima (see module docstring) — the device analog of the host
+    watershed's erosion/marker split for touching same-species atoms
+    (watershed.py:98-144).  Each component always keeps >= 1 seed, so this
+    can only subdivide regions, never drop them.
     """
     shape = species.shape
     n_vox = shape[0] * shape[1] * shape[2]
     spec = jnp.where(mask > 0, species.astype(jnp.int32), 0)
     if smooth_classes:
         spec = jnp.where(mask > 0, mode_filter(spec, smooth_classes), 0)
-    labels = connected_components_same_value(spec).reshape(-1)
+    fg = spec > 0
+    cc = connected_components_same_value(spec)
+    if split_peaks:
+        seeds = density_peaks(density, cc, fg, window=peak_window)
+        labels = nearest_seed_labels(seeds, cc, fg).reshape(-1)
+    else:
+        labels = cc.reshape(-1)
     spec_f = spec.reshape(-1)
 
     # Region sizes; roots are voxels whose label equals their own index.
@@ -194,11 +320,12 @@ def extract_atoms(
 
 def extract_atoms_batch(
     density, species, mask, max_atoms: int = 64, min_voxels: int = 4,
-    smooth_classes: int = 0,
+    smooth_classes: int = 0, split_peaks: bool = False, peak_window: int = 2,
 ):
     """vmapped extraction over a batch of grids."""
     fn = functools.partial(
         extract_atoms, max_atoms=max_atoms, min_voxels=min_voxels,
-        smooth_classes=smooth_classes,
+        smooth_classes=smooth_classes, split_peaks=split_peaks,
+        peak_window=peak_window,
     )
     return jax.vmap(fn)(density, species, mask)

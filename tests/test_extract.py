@@ -103,6 +103,122 @@ class TestExtractAtoms:
         assert np.asarray(valid).sum(axis=1).tolist() == [1, 1]
 
 
+class TestPeakSplitting:
+    """split_peaks=True: the device analog of the host watershed's
+    erosion/marker split for touching SAME-species blobs
+    (watershed.py:98-144) — the round-1 fused-path validity gap."""
+
+    def test_same_species_dumbbell_splits(self):
+        # the exact case the plain CC path merges: one connected
+        # same-species region with two density maxima
+        d = 24
+        M = gaussian_blob(d, (8, 12, 12), 2.0) + gaussian_blob(d, (16, 12, 12), 2.0)
+        Sb = (M > 0.08).astype(np.int32)
+        S = np.where(Sb, 13, 0).astype(np.int32)
+
+        atoms_h, mu_h = watershed_clustering(M, S, Sb, min_convexity=0.95)
+        a_merged, _, v_merged = extract_atoms(
+            jnp.asarray(M), jnp.asarray(S), jnp.asarray(Sb), max_atoms=8
+        )
+        a_split, mu_split, v_split = extract_atoms(
+            jnp.asarray(M), jnp.asarray(S), jnp.asarray(Sb), max_atoms=8,
+            split_peaks=True,
+        )
+        assert np.asarray(v_merged).sum() == 1        # the old gap
+        assert np.asarray(v_split).sum() == len(atoms_h) == 2
+        mu_d = np.asarray(mu_split)[np.asarray(v_split)]
+        for m_h in mu_h:
+            assert np.min(np.linalg.norm(mu_d - m_h, axis=1)) < 1.5
+
+    def test_decoded_like_noisy_grids(self):
+        """Parity on NOISY (decoder-like) grids, not clean voxelizer output:
+        smooth multiplicative noise + ripples on the density, dilated
+        species labels.  Host watershed and split device path must agree on
+        atom count for both the merged-pair and the single-atom case."""
+        rng = np.random.default_rng(3)
+        d = 24
+        cases = [
+            (gaussian_blob(d, (8, 12, 12), 2.0)
+             + gaussian_blob(d, (16, 12, 12), 2.0), 2),
+            (gaussian_blob(d, (12, 12, 12), 2.5), 1),
+        ]
+        g = np.mgrid[:d, :d, :d].astype(float)
+        for M0, n_true in cases:
+            # low-frequency ripple (decoder artifacts), bounded at 5%
+            ripple = sum(
+                0.02 * np.sin(2 * np.pi * (g[i] / d) * f + p)
+                for i, (f, p) in enumerate(
+                    zip((2, 3, 2), rng.uniform(0, 6, 3))
+                )
+            )
+            M = M0 * (1.0 + ripple) + 0.01 * rng.standard_normal((d, d, d))
+            M = np.clip(M, 0, None)
+            Sb = (M0 > 0.08).astype(np.int32)
+            S = np.where(Sb, 13, 0).astype(np.int32)
+
+            atoms_h, _ = watershed_clustering(M, S, Sb, min_convexity=0.95)
+            _, _, v_split = extract_atoms(
+                jnp.asarray(M), jnp.asarray(S), jnp.asarray(Sb),
+                max_atoms=8, split_peaks=True,
+            )
+            assert len(atoms_h) == n_true
+            assert np.asarray(v_split).sum() == n_true
+
+    def test_split_keeps_well_separated_structure_parity(self):
+        """split_peaks must not change the answer where the plain CC path
+        already agreed with the host watershed (voxelized perovskite)."""
+        grid = GridSpec(d=32)
+        a0 = 4.2
+        lattice = Lattice.from_parameters(a0, a0, a0)
+        structure = Structure(
+            lattice,
+            [
+                Site(56, np.array([0.1, 0.1, 0.1])),
+                Site(22, np.array([0.6, 0.6, 0.6])),
+                Site(8, np.array([0.6, 0.6, 0.1])),
+                Site(8, np.array([0.6, 0.1, 0.6])),
+                Site(8, np.array([0.1, 0.6, 0.6])),
+            ],
+        )
+        N, z, r = structure.site_arrays()
+        cart = lattice.cartesian(N)
+        s, zz, ss, mm = pad_sites(cart, z, r, 16)
+        abc = np.array(lattice.abc, np.float32)
+        M, S = voxelize(s, zz, ss, mm, jnp.asarray(abc), grid)
+        M, S = np.asarray(M), np.asarray(S).astype(np.int32)
+        Sb = (S != 0).astype(np.int32)
+
+        atoms_h, mu_h = watershed_clustering(M, S, Sb)
+        atoms_d, mu_d, valid = extract_atoms(
+            jnp.asarray(M), jnp.asarray(S), jnp.asarray(Sb), max_atoms=16,
+            split_peaks=True,
+        )
+        atoms_d = np.asarray(atoms_d)[np.asarray(valid)]
+        mu_d = np.asarray(mu_d)[np.asarray(valid)]
+        assert sorted(atoms_d.tolist()) == sorted(atoms_h.tolist())
+        for m_h in mu_h:
+            assert np.min(np.linalg.norm(mu_d - m_h, axis=1)) < 1.0
+
+    def test_every_component_keeps_a_seed(self):
+        """A small component adjacent to a taller blob of a DIFFERENT
+        species must keep its own seed (same-component-masked local max),
+        so splitting never loses atoms."""
+        d = 20
+        heavy = gaussian_blob(d, (8, 10, 10), 2.5) * 5.0
+        light = gaussian_blob(d, (13, 10, 10), 1.5)
+        M = heavy + light
+        S = np.zeros((d, d, d), np.int32)
+        S[np.where(heavy > 0.4)] = 22
+        S[np.where(light > 0.3)] = 8   # light blob label wins where it's set
+        Sb = (S != 0).astype(np.int32)
+        atoms, _, valid = extract_atoms(
+            jnp.asarray(M), jnp.asarray(S), jnp.asarray(Sb), max_atoms=8,
+            split_peaks=True,
+        )
+        atoms = np.asarray(atoms)[np.asarray(valid)]
+        assert sorted(atoms.tolist()) == [8, 22]
+
+
 class TestModeFilter:
     def test_denoises_speckled_labels(self, rng=None):
         """Random label speckle inside a blob gets voted back to the majority;
