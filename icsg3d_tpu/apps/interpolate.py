@@ -45,12 +45,73 @@ def interpolate_latents(
     return np.asarray(out)
 
 
+def interpolate_sweep(
+    vae_model,
+    vae_vars,
+    dataset,
+    bin_idx: np.ndarray,
+    n_bins: int,
+    n_interps: int = 10,
+    seed: int = 0,
+):
+    """Per-condition-bin interpolation sweep (interpolate.py:47-64,107-110).
+
+    For EACH condition bin: pick two random samples from that bin, encode
+    both under the bin's FIXED one-hot condition, decode ``n_interps``
+    linear latent steps under the same fixed condition, and concatenate the
+    raw endpoint grids a/b onto the strip — one (n_interps + 2, d, d, d, C)
+    row per bin.  Bins with fewer than two samples are skipped.
+
+    Returns (rows, row_meta): rows is a list of arrays, row_meta a list of
+    {"bin", "a", "b"} dicts.
+    """
+    encode = common.jit_vae_encode(vae_model, vae_vars)
+    decode = common.jit_vae_decode(vae_model, vae_vars)
+    rng = np.random.default_rng(seed)
+    ids = np.asarray(dataset.ids)
+
+    rows, row_meta = [], []
+    for b in range(n_bins):
+        members = np.flatnonzero(bin_idx == b)
+        if len(members) < 2:
+            continue
+        ia, ib = rng.choice(members, 2, replace=False)
+        cond = np.eye(n_bins, dtype=np.float32)[b]
+        x = np.stack(
+            [
+                common.grid_input(
+                    np.asarray(dataset.arrays["density"][i])[None],
+                    np.asarray(dataset.arrays["coords"][i])[None],
+                )[0]
+                for i in (ia, ib)
+            ]
+        )
+        z, _ = encode(jnp.asarray(x), jnp.asarray(np.stack([cond, cond])))
+        z_a, z_b = np.asarray(z)
+        ts = np.linspace(0.0, 1.0, n_interps)[:, None].astype(np.float32)
+        zs = (1.0 - ts) * z_a + ts * z_b
+        conds = np.repeat(cond[None], n_interps, axis=0)
+        mids = np.asarray(decode(jnp.asarray(zs), jnp.asarray(conds)))
+        # endpoints a/b are the RAW grids, concatenated onto the strip
+        # (reference interpolate.py:49,60-62: output = [a, interps..., b])
+        rows.append(np.concatenate([x[:1], mids, x[1:]], axis=0))
+        row_meta.append({"bin": b, "a": str(ids[ia]), "b": str(ids[ib])})
+    return rows, row_meta
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(description="Interpolate between compounds")
     p.add_argument("--data", required=True)
     p.add_argument("--vae-ckpt", required=True)
-    p.add_argument("--a", required=True, help="first sample id")
-    p.add_argument("--b", required=True, help="second sample id")
+    p.add_argument("--a", help="first sample id (pair mode)")
+    p.add_argument("--b", help="second sample id (pair mode)")
+    p.add_argument(
+        "--sweep-conds", action="store_true",
+        help="reference parity mode: one interpolation strip per condition "
+             "bin, random same-bin pair under the bin's fixed one-hot, raw "
+             "endpoints included (interpolate.py:47-64,107-110)",
+    )
+    p.add_argument("--seed", type=int, default=0)
     p.add_argument("--ninterps", type=int, default=10)
     p.add_argument("--d", type=int, default=32)
     p.add_argument("--cond-bins", type=int, default=10)
@@ -65,11 +126,39 @@ def main(argv=None):
 
     grid = GridSpec(d=args.d)
     ds = GridDataset(args.data)
-    _, conds, _ = bin_and_encode(np.asarray(ds.arrays["target"]), args.cond_bins)
+    bin_idx, conds, _ = bin_and_encode(
+        np.asarray(ds.arrays["target"]), args.cond_bins
+    )
     vae_model, vae_vars = common.load_vae(
         common.vae_config_from_args(args, grid), args.vae_ckpt
     )
 
+    if args.sweep_conds:
+        rows, row_meta = interpolate_sweep(
+            vae_model, vae_vars, ds, bin_idx, args.cond_bins,
+            n_interps=args.ninterps, seed=args.seed,
+        )
+        os.makedirs(args.output, exist_ok=True)
+        from icsg3d_tpu import viz
+
+        for row, meta in zip(rows, row_meta):
+            b = meta["bin"]
+            np.save(os.path.join(args.output, f"interpolation_bin{b}.npy"), row)
+            viz.plot_interpolation(
+                row, os.path.join(args.output, f"interpolation_bin{b}.png")
+            )
+        import json
+
+        with open(os.path.join(args.output, "sweep.json"), "w") as f:
+            json.dump(row_meta, f, indent=1)
+        print(
+            f"wrote {len(rows)} condition-bin strips "
+            f"({args.ninterps}+2 steps each) -> {args.output}"
+        )
+        return
+
+    if not args.a or not args.b:
+        p.error("pair mode needs --a and --b (or use --sweep-conds)")
     ia, ib = ds.index[args.a], ds.index[args.b]
     x_a = common.grid_input(
         np.asarray(ds.arrays["density"][ia])[None],

@@ -20,13 +20,23 @@ import csv
 import os
 import sys
 
+# The reference's full 13-field schema (query_matproj.py:38-51).  MPRester
+# returns dotted sub-document keys as flat "a.b" columns; the CSV keeps them
+# verbatim, and every downstream --target flag (voxelize, train_cgcnn)
+# accepts dotted column names unchanged.
 PROPERTIES = [
     "task_id",
     "pretty_formula",
     "formation_energy_per_atom",
     "cif",
     "band_gap",
+    "diel.poly_electronic",
+    "diel.refractive_index",
+    "piezo.eij_max",
     "energy_per_atom",
+    "elasticity.K_Voigt_Reuss_Hill",
+    "elasticity.G_Voigt_Reuss_Hill",
+    "elasticity.poisson_ratio",
     "nsites",
 ]
 

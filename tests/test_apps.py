@@ -98,6 +98,24 @@ class TestGenerate:
             assert "formation_energy" in r["properties"]
             assert np.isfinite(r["properties"]["formation_energy"])
 
+    def test_predict_multiple_properties_per_sample(self):
+        """The reference's multi-property loop (generate.py:280-286): one
+        generate run annotates every sample with >= 2 predicted properties,
+        one checkpoint per property (incl. a dotted MP-schema name)."""
+        structures = random_structures(3, seed=2)
+        records = [{"structure": s, "valid": True} for s in structures]
+        predict_properties(
+            records, CGCNNConfig(),
+            {"formation_energy_per_atom": None,
+             "elasticity.K_Voigt_Reuss_Hill": None},
+        )
+        for r in records:
+            props = r["properties"]
+            assert set(props) == {
+                "formation_energy_per_atom", "elasticity.K_Voigt_Reuss_Hill"
+            }
+            assert all(np.isfinite(v) for v in props.values())
+
 
 class TestEvaluate:
     def test_evaluate_runs(self, dataset, models):
@@ -133,8 +151,67 @@ class TestInterpolate:
         assert grids.shape == (5, 8, 8, 8, 4)
         assert np.isfinite(grids).all()
 
+    def test_sweep_conds_parity(self, dataset):
+        """Per-condition-bin sweep (interpolate.py:47-64,107-110): one strip
+        per populated bin, fixed one-hot per bin, raw a/b endpoints
+        concatenated onto the strip."""
+        from icsg3d_tpu.apps.interpolate import interpolate_sweep
+
+        n_bins = 3  # 6 samples / 3 bins -> every bin populated with a pair
+        vae_model, vae_vars = common.load_vae(
+            VAEConfig(grid=GRID, filters=(4, 8), latent_dim=8,
+                      dtype="float32", cond_bins=n_bins),
+            None,
+        )
+        bin_idx, _, _ = bin_and_encode(
+            np.asarray(dataset.arrays["target"]), n_bins
+        )
+        rows, meta = interpolate_sweep(
+            vae_model, vae_vars, dataset, bin_idx, n_bins,
+            n_interps=4, seed=0,
+        )
+        populated = [b for b in range(n_bins) if (bin_idx == b).sum() >= 2]
+        assert [m["bin"] for m in meta] == populated
+        for row, m in zip(rows, meta):
+            assert row.shape == (4 + 2, 8, 8, 8, 4)  # endpoints included
+            # endpoints are the RAW grids of the chosen pair, not decodes
+            ia, ib = dataset.index[m["a"]], dataset.index[m["b"]]
+            x_a = common.grid_input(
+                np.asarray(dataset.arrays["density"][ia])[None],
+                np.asarray(dataset.arrays["coords"][ia])[None],
+            )[0]
+            x_b = common.grid_input(
+                np.asarray(dataset.arrays["density"][ib])[None],
+                np.asarray(dataset.arrays["coords"][ib])[None],
+            )[0]
+            assert np.allclose(row[0], x_a, atol=1e-6)
+            assert np.allclose(row[-1], x_b, atol=1e-6)
+            assert m["a"] != m["b"]
+            assert np.isfinite(row).all()
+
 
 class TestVoxelizeApp:
+    def test_dotted_target_column(self, tmp_path):
+        """MP sub-document columns ("elasticity.K_Voigt_Reuss_Hill") pass
+        through the CSV target plumbing verbatim (query schema parity)."""
+        structures = random_structures(2, seed=9)
+        cif_dir = tmp_path / "cifs"
+        os.makedirs(cif_dir)
+        for i, s in enumerate(structures):
+            write_cif(s, str(cif_dir / f"mp-{i}.cif"))
+        csv_path = tmp_path / "props.csv"
+        with open(csv_path, "w") as f:
+            f.write("task_id,elasticity.K_Voigt_Reuss_Hill\n")
+            f.write("mp-0,110.5\nmp-1,95.0\n")
+        ds = build_from_cifs(
+            str(cif_dir), str(tmp_path / "out"),
+            targets_csv=str(csv_path),
+            target_column="elasticity.K_Voigt_Reuss_Hill",
+            cfg=VoxelizerConfig(grid=GRID, site_pad=16),
+            process_index=0, process_count=1,
+        )
+        assert sorted(np.asarray(ds.arrays["target"]).tolist()) == [95.0, 110.5]
+
     def test_build_from_cifs_roundtrip(self, tmp_path):
         """Write structures as CIFs, rebuild a dataset from them."""
         structures = random_structures(3, seed=1)
