@@ -96,12 +96,29 @@ class VAEConfig:
     """Conditional DFC-VAE (reference: vae/lattice_vae.py:89-230).
 
     The condition is a `cond_bins`-way one-hot broadcast over the spatial grid
-    and concatenated to the input channels.  ``cond_repeat`` exists because the
-    reference's Keras `K.tile` call (vae/lattice_vae.py:167-168) left-pads its
-    rank-4 multiples numpy-style over the rank-5 tensor, producing a redundant
-    4x channel repeat of the one-hot (a (32,32,32,40) condition block).  The
-    default here is the clean single copy; set ``cond_repeat=4`` to reproduce
-    the reference's encoder input width.
+    and concatenated to the input channels.
+
+    ``cond_repeat`` pins the reference's cond-tiling quirk, derived
+    analytically (the Keras 2.3/TF 2.1 stack cannot run in this environment):
+
+    * The reference reshapes the (B, 10) condition to (B, 1, 1, 1, 10) and
+      applies ``Lambda(K.tile, arguments={"n": (32, 32, 32, 4)})``
+      (vae/lattice_vae.py:167-168) — rank-4 multiples on a rank-5 tensor.
+    * Raw ``tf.tile`` REJECTS that (it requires ``len(multiples) == rank``),
+      but the call goes through the Keras 2.3.1 backend wrapper
+      ``keras.backend.tensorflow_backend.tile(x, n)``, which LEFT-pads short
+      multiples with 1s before delegating ("if len(n) < len(shape): n =
+      [1]*(len(shape)-len(n)) + n").
+    * Effective multiples are therefore (1, 32, 32, 32, 4) applied to
+      (B, 1, 1, 1, 10): a (B, 32, 32, 32, 40) condition block — the one-hot
+      broadcast over the grid AND redundantly repeated 4x along channels —
+      giving a 44-channel encoder input after concatenation.  This holds for
+      any TF backend of that Keras version; there is no backend dependence.
+
+    Reference-parity mode is therefore ``cond_repeat=4`` (exact encoder
+    width 44).  The default stays 1 (clean single copy, width 14): the 4x
+    repeat is an artifact, carries no extra information, and the round-1
+    training campaign's checkpoints were trained at width 14.
     """
 
     grid: GridSpec = GridSpec()
