@@ -92,7 +92,8 @@ def _assemble_x(batch, grid):
 
 
 def _vae_losses(
-    model, unet, unet_variables, params, batch_stats, batch, rng, train: bool
+    model, unet, unet_variables, params, batch_stats, batch, rng,
+    train: bool, remat_perceptual: bool = False,
 ):
     cfg = model.cfg
     batch = dict(batch)
@@ -113,12 +114,19 @@ def _vae_losses(
     mse = losses.mse_flat(batch["x"], recon)
     kld = losses.kld_gaussian(z_mean, z_log_var)
     if unet is not None:
+        # the true-grid forward carries no gradient (frozen net, constant
+        # input) so XLA stores nothing for it; only the recon forward's
+        # activations survive to the backward pass — remat_perceptual
+        # recomputes that one forward instead (64^3 memory relief)
+        pred_feats = lambda xx: _perceptual_features(  # noqa: E731
+            unet, unet_variables, xx, cfg.perceptual_taps
+        )
+        if remat_perceptual:
+            pred_feats = jax.checkpoint(pred_feats)
         f_true = _perceptual_features(
             unet, unet_variables, batch["x"], cfg.perceptual_taps
         )
-        f_pred = _perceptual_features(
-            unet, unet_variables, recon, cfg.perceptual_taps
-        )
+        f_pred = pred_feats(recon)
         pm = losses.perceptual_feature_loss(
             f_true, f_pred, cfg.perceptual_tap_weights
         )
@@ -138,19 +146,24 @@ def make_vae_steps(
     model: ConditionalDFCVAE,
     unet: Optional[UNet3D] = None,
     unet_variables=None,
+    remat_perceptual: bool = False,
 ):
     """Build (train_step, eval_step).
 
     unet=None trains a plain (non-DFC) conditional VAE — useful before a
     U-Net artifact exists (the reference hard-required one,
     vae/lattice_vae.py:120).
+
+    remat_perceptual=True recomputes the recon-side frozen perceptual
+    forward in the backward pass instead of storing its activations —
+    a memory/batch-size lever for 64^3 grids.
     """
 
     def train_step(state: ModelState, batch, rng):
         def loss_fn(params):
             return _vae_losses(
                 model, unet, unet_variables, params, state.batch_stats,
-                batch, rng, train=True,
+                batch, rng, train=True, remat_perceptual=remat_perceptual,
             )
 
         grads, (mets, new_bs) = jax.grad(loss_fn, has_aux=True)(state.params)
