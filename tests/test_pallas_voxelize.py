@@ -72,3 +72,41 @@ class TestPallasVoxelizer:
                 jnp.asarray(sites), jnp.asarray(z), jnp.asarray(sigma),
                 jnp.asarray(mask), jnp.asarray(abc), GRID, interpret=True,
             )
+
+
+class TestPallasConv:
+    """Fused Conv3D+BN+ReLU kernel (ops/pallas_conv.py) vs the XLA
+    composite — interpreter-mode correctness; perf is measured on hardware
+    by tools/pallas_conv_bench.py."""
+
+    def test_matches_xla_composite(self):
+        from icsg3d_tpu.ops.pallas_conv import (
+            conv3d_bn_relu_pallas,
+            conv3d_bn_relu_xla,
+        )
+
+        rng = np.random.default_rng(0)
+        B, D, H, W, C, Co = 2, 6, 8, 8, 8, 8
+        x = jnp.asarray(rng.normal(size=(B, D, H, W, C)), jnp.float32)
+        w = jnp.asarray(rng.normal(size=(3, 3, 3, C, Co)) * 0.1, jnp.float32)
+        scale = jnp.asarray(rng.uniform(0.5, 1.5, Co), jnp.float32)
+        shift = jnp.asarray(rng.normal(size=Co) * 0.1, jnp.float32)
+        want = conv3d_bn_relu_xla(x, w, scale, shift)
+        got = conv3d_bn_relu_pallas(x, w, scale, shift, interpret=True)
+        assert np.max(np.abs(np.asarray(got) - np.asarray(want))) < 1e-4
+
+    def test_depth_boundaries_zero_padded(self):
+        from icsg3d_tpu.ops.pallas_conv import (
+            conv3d_bn_relu_pallas,
+            conv3d_bn_relu_xla,
+        )
+
+        # all-ones input exposes padding mistakes at d=0 / d=D-1
+        B, D, H, W, C = 1, 4, 8, 8, 8
+        x = jnp.ones((B, D, H, W, C), jnp.float32)
+        w = jnp.ones((3, 3, 3, C, C), jnp.float32) * 0.01
+        scale = jnp.ones((C,), jnp.float32)
+        shift = jnp.zeros((C,), jnp.float32)
+        want = conv3d_bn_relu_xla(x, w, scale, shift)
+        got = conv3d_bn_relu_pallas(x, w, scale, shift, interpret=True)
+        assert np.allclose(np.asarray(got), np.asarray(want), atol=1e-4)
