@@ -62,31 +62,18 @@ def build_criteria(anonymous_formula=None, system=None):
     return criteria
 
 
-def run_query(api_key, name, anonymous_formula=None, system=None, out="data"):
-    try:
-        from pymatgen.ext.matproj import MPRester  # noqa: F401
-    except ImportError:
-        print(
-            "pymatgen is not available in this environment; the Materials "
-            "Project query path needs it.\n"
-            "Offline alternatives:\n"
-            "  python -m icsg3d_tpu.apps.voxelize --cifs <dir> --out <dataset>\n"
-            "  python -m icsg3d_tpu.apps.voxelize --synthetic 1000 --out <dataset>",
-            file=sys.stderr,
-        )
-        return 1
-
-    criteria = build_criteria(anonymous_formula, system)
-    with MPRester(api_key) as mpr:
-        docs = mpr.query(criteria=criteria, properties=PROPERTIES)
-
+def write_docs(docs, name, out="data") -> int:
+    """Write MPRester-style docs to the reference layout: per-structure
+    CIFs plus <name>.csv with every non-cif column (query_matproj.py:63-80).
+    Dotted sub-document keys stay verbatim as CSV column names."""
     cif_dir = os.path.join(out, name, "cifs")
     os.makedirs(cif_dir, exist_ok=True)
     rows = []
     for doc in docs:
         task_id = doc["task_id"]
-        with open(os.path.join(cif_dir, f"{task_id}.cif"), "w") as f:
-            f.write(doc["cif"])
+        if doc.get("cif"):
+            with open(os.path.join(cif_dir, f"{task_id}.cif"), "w") as f:
+                f.write(doc["cif"])
         rows.append({k: doc.get(k) for k in PROPERTIES if k != "cif"})
     with open(os.path.join(out, name, f"{name}.csv"), "w", newline="") as f:
         writer = csv.DictWriter(f, fieldnames=[k for k in PROPERTIES if k != "cif"])
@@ -96,17 +83,57 @@ def run_query(api_key, name, anonymous_formula=None, system=None, out="data"):
     return 0
 
 
+def run_query(
+    api_key, name, anonymous_formula=None, system=None, out="data",
+    from_json=None,
+):
+    if from_json:
+        import json
+
+        with open(from_json) as f:
+            docs = json.load(f)
+        return write_docs(docs, name, out)
+
+    try:
+        from pymatgen.ext.matproj import MPRester  # noqa: F401
+    except ImportError:
+        print(
+            "pymatgen is not available in this environment; the Materials "
+            "Project query path needs it.\n"
+            "Offline alternatives:\n"
+            "  python -m icsg3d_tpu.apps.query --from-json <mp_dump.json> ...\n"
+            "  python -m icsg3d_tpu.apps.voxelize --cifs <dir> --out <dataset>\n"
+            "  python -m icsg3d_tpu.apps.voxelize --synthetic 1000 --out <dataset>",
+            file=sys.stderr,
+        )
+        return 1
+
+    criteria = build_criteria(anonymous_formula, system)
+    with MPRester(api_key) as mpr:
+        docs = mpr.query(criteria=criteria, properties=PROPERTIES)
+    return write_docs(docs, name, out)
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(description="Query the Materials Project")
-    p.add_argument("--key", required=True, help="Materials Project API key")
+    p.add_argument("--key", default=None, help="Materials Project API key")
     p.add_argument("--name", required=True)
     p.add_argument("--anonymous-formula", default=None, help="e.g. ABC3")
     p.add_argument("--system", default=None, help="e.g. Li-Fe-O")
     p.add_argument("--out", default="data")
+    p.add_argument(
+        "--from-json", default=None,
+        help="offline mode: write CIFs+CSV from a saved MPRester JSON dump "
+             "(the reference saved exactly this file, query_matproj.py:60-62) "
+             "instead of querying the network",
+    )
     args = p.parse_args(argv)
+    if not args.key and not args.from_json:
+        p.error("need --key (network query) or --from-json (offline dump)")
     sys.exit(
         run_query(
-            args.key, args.name, args.anonymous_formula, args.system, args.out
+            args.key, args.name, args.anonymous_formula, args.system,
+            args.out, from_json=args.from_json,
         )
     )
 

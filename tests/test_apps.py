@@ -449,3 +449,42 @@ class TestSaveGrids:
             assert r["density_grid"].dtype == np.float16
             assert r["species_grid"].dtype == np.uint8
             assert r["density_grid"].shape == (8, 8, 8)
+
+
+class TestQueryOffline:
+    def test_from_json_writes_reference_layout(self, tmp_path):
+        """--from-json replays a saved MPRester dump into the reference's
+        data/<name>/{cifs/*.cif, <name>.csv} layout with the full 13-field
+        schema incl. dotted sub-document columns."""
+        import csv as _csv
+
+        from icsg3d_tpu.apps.query import run_query, PROPERTIES
+
+        docs = [
+            {
+                "task_id": "mp-1", "pretty_formula": "LaFeO3",
+                "formation_energy_per_atom": -2.5, "cif": "data_mp-1\n",
+                "band_gap": 2.1, "diel.poly_electronic": 9.6,
+                "diel.refractive_index": 3.1, "piezo.eij_max": 0.4,
+                "energy_per_atom": -7.1,
+                "elasticity.K_Voigt_Reuss_Hill": 150.0,
+                "elasticity.G_Voigt_Reuss_Hill": 60.0,
+                "elasticity.poisson_ratio": 0.3, "nsites": 5,
+            },
+            {"task_id": "mp-2", "pretty_formula": "SrTiO3",
+             "formation_energy_per_atom": -3.1, "cif": "data_mp-2\n",
+             "nsites": 5},
+        ]
+        dump = tmp_path / "dump.json"
+        with open(dump, "w") as f:
+            json.dump(docs, f)
+        rc = run_query(None, "demo", out=str(tmp_path), from_json=str(dump))
+        assert rc == 0
+        assert (tmp_path / "demo" / "cifs" / "mp-1.cif").exists()
+        assert (tmp_path / "demo" / "cifs" / "mp-2.cif").exists()
+        with open(tmp_path / "demo" / "demo.csv") as f:
+            rows = list(_csv.DictReader(f))
+        assert len(rows) == 2
+        assert set(rows[0]) == {k for k in PROPERTIES if k != "cif"}
+        assert rows[0]["elasticity.K_Voigt_Reuss_Hill"] == "150.0"
+        assert rows[1]["diel.poly_electronic"] == ""  # missing sub-doc ok
