@@ -188,9 +188,15 @@ def segment_nuclei(
         kernel = ball(1)
         fg = erosion(binary_bbox, kernel)
         markers = label_same_value(fg.astype(int), connectivity=1) + 1
-        # The reference also zeroes an "unknown" dilated-minus-eroded rim,
-        # but only effectively for label value 1 (watershed.py:100-108);
-        # the rim voxels flood from the nearest marker either way.
+        # Rim divergence (quantified at population scale by
+        # tools/validate_watershed.py): every non-foreground voxel here is
+        # pre-marked background, so the eroded one-voxel rim is dropped
+        # with the background basin for EVERY blob.  The reference zeroes
+        # its "unknown" dilated-minus-eroded rim only when the blob's label
+        # value is 1 (watershed.py:100-108, label-valued grids), flooding
+        # that one blob's rim into the nearest basin and dropping all
+        # others' — same centroids/species either way (the rim is a
+        # symmetric one-voxel shell), slightly different region sizes.
 
         wss = watershed_flood(binary_bbox.astype(float), markers)
         wss[wss == 1] = 0  # background basin
