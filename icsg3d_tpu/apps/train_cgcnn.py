@@ -51,13 +51,19 @@ def graph_arrays_from_cifs(cif_dir, targets_csv, target_column, spec):
     return graphs
 
 
-def graph_arrays_synthetic(n, seed, spec):
-    from icsg3d_tpu.data.synthetic import random_structures, synthetic_target
+def graph_arrays_synthetic(n, seed, spec, prop="formation_energy"):
+    from icsg3d_tpu.data import synthetic
 
-    structures = random_structures(n, seed=seed, kinds=("perovskite", "rocksalt"))
+    target_fn = {
+        "formation_energy": synthetic.synthetic_target,
+        "band_gap": synthetic.synthetic_band_gap,
+    }[prop]
+    structures = synthetic.random_structures(
+        n, seed=seed, kinds=("perovskite", "rocksalt")
+    )
     graphs = featurize_batch(structures, spec)
     graphs["target"] = np.asarray(
-        [synthetic_target(s) for s in structures], np.float32
+        [target_fn(s) for s in structures], np.float32
     )
     return graphs
 
@@ -68,6 +74,13 @@ def main(argv=None):
     p.add_argument("--targets-csv", default=None)
     p.add_argument("--target", default="formation_energy_per_atom")
     p.add_argument("--synthetic", type=int, default=0)
+    p.add_argument(
+        "--synthetic-property", default="formation_energy",
+        choices=("formation_energy", "band_gap"),
+        help="which deterministic pseudo property the synthetic graphs "
+             "regress — train one checkpoint per property for the "
+             "multi-property generate loop (generate.py:280-286)",
+    )
     p.add_argument("--epochs", type=int, default=60)
     p.add_argument("--batch-size", type=int, default=32)
     p.add_argument("--lr", type=float, default=1e-3)
@@ -88,7 +101,9 @@ def main(argv=None):
         radius=cfg.radius, dmin=cfg.dmin, step=cfg.step,
     )
     if args.synthetic:
-        graphs = graph_arrays_synthetic(args.synthetic, args.seed, spec)
+        graphs = graph_arrays_synthetic(
+            args.synthetic, args.seed, spec, prop=args.synthetic_property
+        )
     elif args.cifs and args.targets_csv:
         graphs = graph_arrays_from_cifs(
             args.cifs, args.targets_csv, args.target, spec

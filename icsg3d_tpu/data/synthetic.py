@@ -86,6 +86,25 @@ def synthetic_target(structure: Structure) -> float:
     return -1.5 * spread - 0.8 * float(np.mean(r)) + 0.1 * len(zs)
 
 
+def synthetic_band_gap(structure: Structure) -> float:
+    """Second deterministic pseudo property (nonnegative, gap-like) so the
+    multi-property generate->CGCNN loop (reference generate.py:280-286) can
+    be exercised end-to-end with two independently-trained regressors.
+
+    Chemically different signal from synthetic_target: mean
+    electronegativity and ionization energy push the pseudo gap up, mean
+    atomic number pulls it down; clamped at 0 like a real gap.
+    """
+    zs = structure.atomic_numbers
+    if len(zs) == 0:
+        return 0.0
+    en = elements.ELECTRONEGATIVITY[zs]
+    en = float(np.nanmean(en)) if not np.all(np.isnan(en)) else 1.5
+    ie = elements.FIRST_IONIZATION_EV[zs]
+    ie = float(np.nanmean(ie)) if not np.all(np.isnan(ie)) else 7.0
+    return max(0.0, 1.2 * en + 0.35 * ie - 0.05 * float(np.mean(zs)) - 3.0)
+
+
 def build_dataset(
     path: str,
     n: int = 32,
