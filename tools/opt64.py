@@ -10,7 +10,11 @@ MFU gap decomposes into where the time actually goes.
     python tools/opt64.py --bs 16 --trace DIR  # one point + profile trace
 """
 
-from __future__ import annotations
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 
 import argparse
 import json

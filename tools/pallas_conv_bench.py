@@ -7,7 +7,11 @@ perceptual/segmentation forward — plus the 64^3 variant.
     python tools/pallas_conv_bench.py --out output/pallas_conv.json
 """
 
-from __future__ import annotations
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 
 import argparse
 import json

@@ -17,7 +17,11 @@ Usage:
         --unet-ckpt checkpoints/ns10k/unet --out output/ns10k/unet_metrics.json
 """
 
-from __future__ import annotations
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 
 import argparse
 import json

@@ -24,7 +24,11 @@ Reports, per population (generation set and validation-reconstruction set):
   distance — for production-vs-faithful and device-vs-production.
 """
 
-from __future__ import annotations
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 
 import argparse
 import heapq
