@@ -89,7 +89,7 @@ def fused_generate_fn(
             M[..., 0], jnp.where(binary > 0, labels, 0), binary,
             max_atoms=max_atoms,
             smooth_classes=unet_model.cfg.num_classes,
-            split_peaks=True,
+            absorb_min=32,
         )
         cart = voxel_to_cartesian(
             mu, lattice[:, None, :], dv[:, None, :], grid

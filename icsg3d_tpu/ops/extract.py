@@ -159,16 +159,22 @@ def density_peaks(
 
 
 def nearest_seed_labels(
-    seeds: jnp.ndarray, cc_labels: jnp.ndarray, fg: jnp.ndarray
+    seeds: jnp.ndarray,
+    cc_labels: jnp.ndarray,
+    fg: jnp.ndarray,
+    seed_labels: jnp.ndarray = None,
 ) -> jnp.ndarray:
-    """Relabel each foreground voxel to its nearest seed's flat index.
+    """Relabel each foreground voxel to its nearest seed's label.
 
     Multi-source BFS (6-connectivity, restricted to each voxel's own
-    connected component) in a ``lax.while_loop`` — the same roll/min
+    ``cc_labels`` region) in a ``lax.while_loop`` — the same roll/min
     iteration pattern as the CC pass, converging in O(component diameter)
     rounds.  Equidistant ties resolve by the fixed neighbor-visit order
     (deterministic; the reference watershed's flood order is equally
     arbitrary at ties).  Background and unreached voxels get ``n_vox``.
+
+    ``seed_labels`` gives each seed voxel's label (whole regions can act as
+    one seed); default is each seed voxel's own flat index.
     """
     shape = seeds.shape
     n_vox = shape[0] * shape[1] * shape[2]
@@ -178,7 +184,9 @@ def nearest_seed_labels(
         + jax.lax.broadcasted_iota(jnp.int32, shape, 1) * shape[2]
         + jax.lax.broadcasted_iota(jnp.int32, shape, 2)
     )
-    lab0 = jnp.where(seeds & fg, idx, big)
+    if seed_labels is None:
+        seed_labels = idx
+    lab0 = jnp.where(seeds & fg, seed_labels, big)
     dist0 = jnp.where(seeds & fg, jnp.int32(0), big)
 
     def body(state):
@@ -204,6 +212,58 @@ def nearest_seed_labels(
         lambda s: s[2], body, (lab0, dist0, jnp.bool_(True))
     )
     return lab
+
+
+def absorb_small_components(
+    spec_cc: jnp.ndarray,
+    mask: jnp.ndarray,
+    absorb_min: int = 32,
+    absorb_frac: float = 0.2,
+) -> jnp.ndarray:
+    """Merge spurious small species-components into adjacent large ones.
+
+    The reference labels connected components of the BINARY occupancy and
+    majority-votes the species per region (watershed.py:56,158-167), so a
+    fringe patch of mislabeled voxels inside an atom's blob never becomes
+    its own atom.  The device path's same-species CC would promote such
+    patches to atom slots — measured on the round-1 campaign this was the
+    entire fused-path validity gap: the device OVERcounted (never merged)
+    on 223/1000 generated samples, +1..+5 spurious fringe atoms each.
+
+    A species-component is "small" when its voxel count is below
+    ``max(absorb_min, absorb_frac * largest component in its binary
+    blob)``.  Small components' voxels are BFS-reassigned to the nearest
+    large component within the same binary blob — the device analog of the
+    reference's majority vote.  A blob containing ONLY small components
+    (a genuinely small isolated atom) keeps them all: absorption only
+    fires where a larger sibling exists.
+    """
+    shape = spec_cc.shape
+    n_vox = shape[0] * shape[1] * shape[2]
+    fg = mask > 0
+    blob_cc = connected_components_same_value(fg.astype(jnp.int32))
+
+    cc_flat = spec_cc.reshape(-1)
+    blob_flat = blob_cc.reshape(-1)
+    fg_flat = fg.reshape(-1)
+    ones = fg_flat.astype(jnp.float32)
+    sizes = jax.ops.segment_sum(ones, cc_flat, num_segments=n_vox + 1)
+    size_v = sizes[jnp.minimum(cc_flat, n_vox)]
+    largest_in_blob = jax.ops.segment_max(
+        jnp.where(fg_flat, size_v, 0.0), blob_flat, num_segments=n_vox + 1
+    )
+    largest_v = largest_in_blob[jnp.minimum(blob_flat, n_vox)]
+    thresh = jnp.maximum(
+        jnp.float32(absorb_min), absorb_frac * largest_v
+    )
+    # a blob's largest component is never absorbed (strict <), so every
+    # blob keeps at least one seed — an isolated small atom survives even
+    # below absorb_min
+    is_small = fg_flat & (size_v < thresh) & (size_v < largest_v)
+    seeds = (fg_flat & ~is_small).reshape(shape)
+    return nearest_seed_labels(
+        seeds, blob_cc, fg, seed_labels=spec_cc
+    )
 
 
 def mode_filter(species: jnp.ndarray, num_classes: int) -> jnp.ndarray:
@@ -232,7 +292,8 @@ def mode_filter(species: jnp.ndarray, num_classes: int) -> jnp.ndarray:
 @functools.partial(
     jax.jit,
     static_argnames=("max_atoms", "min_voxels", "smooth_classes",
-                     "split_peaks", "peak_window"),
+                     "split_peaks", "peak_window", "absorb_min",
+                     "absorb_frac"),
 )
 def extract_atoms(
     density: jnp.ndarray,   # (d, d, d) float (drives peak splitting)
@@ -243,6 +304,8 @@ def extract_atoms(
     smooth_classes: int = 0,
     split_peaks: bool = False,
     peak_window: int = 2,
+    absorb_min: int = 0,
+    absorb_frac: float = 0.2,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Fixed-shape atom extraction.
 
@@ -254,11 +317,18 @@ def extract_atoms(
     before CC — use it when the species grid comes from a segmentation
     model rather than the voxelizer.
 
-    split_peaks=True splits merged same-species components at their density
-    local maxima (see module docstring) — the device analog of the host
-    watershed's erosion/marker split for touching same-species atoms
-    (watershed.py:98-144).  Each component always keeps >= 1 seed, so this
-    can only subdivide regions, never drop them.
+    absorb_min > 0 enables fringe-patch absorption (see
+    absorb_small_components) — the device analog of the reference's
+    binary-blob majority vote, and the fix for the measured fused-path
+    overcounting on decoded grids.  Use together with smooth_classes on
+    segmenter output.
+
+    split_peaks=True splits same-species components at their density local
+    maxima (see module docstring) — the analog of the host watershed's
+    erosion/marker split for touching same-species atoms
+    (watershed.py:98-144).  Off by default: on real decoded grids the
+    merging it guards against was never observed, while decoder density
+    ripples make peak splitting overcount (measured in round 2).
     """
     shape = species.shape
     n_vox = shape[0] * shape[1] * shape[2]
@@ -267,6 +337,13 @@ def extract_atoms(
         spec = jnp.where(mask > 0, mode_filter(spec, smooth_classes), 0)
     fg = spec > 0
     cc = connected_components_same_value(spec)
+    if absorb_min:
+        # absorbed voxels now carry their large region's label; background
+        # (and any unreachable voxel) carries n_vox, same as the CC pass
+        cc = absorb_small_components(
+            cc, fg.astype(jnp.int32), absorb_min=absorb_min,
+            absorb_frac=absorb_frac,
+        )
     if split_peaks:
         seeds = density_peaks(density, cc, fg, window=peak_window)
         labels = nearest_seed_labels(seeds, cc, fg).reshape(-1)
@@ -321,11 +398,13 @@ def extract_atoms(
 def extract_atoms_batch(
     density, species, mask, max_atoms: int = 64, min_voxels: int = 4,
     smooth_classes: int = 0, split_peaks: bool = False, peak_window: int = 2,
+    absorb_min: int = 0, absorb_frac: float = 0.2,
 ):
     """vmapped extraction over a batch of grids."""
     fn = functools.partial(
         extract_atoms, max_atoms=max_atoms, min_voxels=min_voxels,
         smooth_classes=smooth_classes, split_peaks=split_peaks,
-        peak_window=peak_window,
+        peak_window=peak_window, absorb_min=absorb_min,
+        absorb_frac=absorb_frac,
     )
     return jax.vmap(fn)(density, species, mask)

@@ -219,6 +219,59 @@ class TestPeakSplitting:
         assert sorted(atoms.tolist()) == [8, 22]
 
 
+class TestAbsorption:
+    """absorb_min > 0: fringe species patches inside a larger blob merge
+    into the large region — the device analog of the reference's
+    binary-blob majority vote (watershed.py:56,158-167), and the measured
+    fix for the fused path's overcounting on decoded grids."""
+
+    def test_fringe_patch_absorbed(self):
+        d = 24
+        den = gaussian_blob(d, (12, 12, 12), 3.0)
+        S = np.where(den > 0.1, 26, 0).astype(np.int32)
+        S[9:11, 9:12, 9:11] = 8  # ~12-voxel mislabeled fringe
+        Sb = (S > 0).astype(np.int32)
+        a0, _, v0 = extract_atoms(
+            jnp.asarray(den), jnp.asarray(S), jnp.asarray(Sb)
+        )
+        a1, mu1, v1 = extract_atoms(
+            jnp.asarray(den), jnp.asarray(S), jnp.asarray(Sb), absorb_min=32
+        )
+        assert np.asarray(v0).sum() == 2      # the old overcount
+        assert np.asarray(v1).sum() == 1
+        assert np.asarray(a1)[np.asarray(v1)][0] == 26
+        # centroid includes the absorbed voxels (host includes them too)
+        assert np.allclose(
+            np.asarray(mu1)[np.asarray(v1)][0], [12, 12, 12], atol=1.0
+        )
+
+    def test_isolated_small_atom_survives(self):
+        d = 24
+        S = np.zeros((d, d, d), np.int32)
+        S[2:5, 2:5, 2:5] = 8                  # 27 voxels < absorb_min
+        S[14:22, 14:22, 14:22] = 26
+        den = gaussian_blob(d, (17, 17, 17), 3.0) + 0.3 * gaussian_blob(
+            d, (3, 3, 3), 1.2
+        )
+        Sb = (S > 0).astype(np.int32)
+        a, _, v = extract_atoms(
+            jnp.asarray(den), jnp.asarray(S), jnp.asarray(Sb), absorb_min=32
+        )
+        assert sorted(np.asarray(a)[np.asarray(v)].tolist()) == [8, 26]
+
+    def test_two_large_regions_both_kept(self):
+        d = 24
+        S = np.zeros((d, d, d), np.int32)
+        S[4:12, 8:16, 8:16] = 22
+        S[12:20, 8:16, 8:16] = 8
+        den = gaussian_blob(d, (8, 12, 12)) + gaussian_blob(d, (16, 12, 12))
+        Sb = (S > 0).astype(np.int32)
+        a, _, v = extract_atoms(
+            jnp.asarray(den), jnp.asarray(S), jnp.asarray(Sb), absorb_min=32
+        )
+        assert sorted(np.asarray(a)[np.asarray(v)].tolist()) == [8, 22]
+
+
 class TestModeFilter:
     def test_denoises_speckled_labels(self, rng=None):
         """Random label speckle inside a blob gets voted back to the majority;
