@@ -36,33 +36,52 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _conv_kernel(x_ref, w_ref, scale_ref, shift_ref, out_ref, pad_ref):
+def _conv_kernel(
+    x_hbm, w_ref, scale_ref, shift_ref, out_ref, raw_ref, pad_ref, sems
+):
     """One (batch, depth) program: one output plane.
 
-    x_ref:     (1, D, H, W, C)  full-sample block (VMEM, revisited over d)
-    w_ref:     (27, C, Cout)    tap-major weights
+    x_hbm:     (B, D, H, W, C)  full input, left in HBM/ANY — DMA'd per
+               program (a whole-sample VMEM block double-buffers to 2x8 MB
+               at 32^3 x 128 and overflows VMEM the moment B > 1)
+    w_ref:     (27, C, Cout)    tap-major weights (VMEM)
     scale_ref: (1, Cout)        fused BN scale  (gamma / sqrt(var + eps))
     shift_ref: (1, Cout)        fused BN shift  (beta - mean * scale)
     out_ref:   (1, 1, H, W, Cout)
+    raw_ref:   (3, H, W, C)     DMA landing buffer (scratch)
     pad_ref:   (3, H+2, W+2, C) zero-padded contributing planes (scratch)
+    sems:      (3,) DMA semaphores — the three plane copies fly in parallel
     """
+    b = pl.program_id(0)
     d = pl.program_id(1)
     n_d = pl.num_programs(1)
     H = out_ref.shape[2]
     W = out_ref.shape[3]
-    C = x_ref.shape[4]
+    C = raw_ref.shape[3]
     Cout = out_ref.shape[4]
 
+    copies = []
+    for k, dd in enumerate((-1, 0, 1)):
+        @pl.when((d + dd >= 0) & (d + dd < n_d))
+        def _(k=k, dd=dd):
+            dma = pltpu.make_async_copy(
+                x_hbm.at[b, pl.ds(d + dd, 1)],
+                raw_ref.at[pl.ds(k, 1)],
+                sems.at[k],
+            )
+            dma.start()
+        copies.append((k, dd))
+
     pad_ref[:] = jnp.zeros_like(pad_ref)
-    pad_ref[1, 1 : H + 1, 1 : W + 1, :] = x_ref[0, d]
-
-    @pl.when(d > 0)
-    def _():
-        pad_ref[0, 1 : H + 1, 1 : W + 1, :] = x_ref[0, d - 1]
-
-    @pl.when(d < n_d - 1)
-    def _():
-        pad_ref[2, 1 : H + 1, 1 : W + 1, :] = x_ref[0, d + 1]
+    for k, dd in copies:
+        @pl.when((d + dd >= 0) & (d + dd < n_d))
+        def _(k=k, dd=dd):
+            pltpu.make_async_copy(
+                x_hbm.at[b, pl.ds(d + dd, 1)],
+                raw_ref.at[pl.ds(k, 1)],
+                sems.at[k],
+            ).wait()
+            pad_ref[k, 1 : H + 1, 1 : W + 1, :] = raw_ref[k]
 
     acc = jnp.zeros((H * W, Cout), jnp.float32)
     for tap in range(27):
@@ -93,10 +112,7 @@ def conv3d_bn_relu_pallas(x, w, scale, shift, interpret: bool = False):
         _conv_kernel,
         grid=(B, D),
         in_specs=[
-            pl.BlockSpec(
-                (1, D, H, W, C), lambda b, d: (b, 0, 0, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
+            pl.BlockSpec(memory_space=pltpu.ANY),   # x stays in HBM
             pl.BlockSpec(
                 (27, C, Cout), lambda b, d: (0, 0, 0),
                 memory_space=pltpu.VMEM,
@@ -113,11 +129,15 @@ def conv3d_bn_relu_pallas(x, w, scale, shift, interpret: bool = False):
             memory_space=pltpu.VMEM,
         ),
         out_shape=jax.ShapeDtypeStruct((B, D, H, W, Cout), x.dtype),
-        scratch_shapes=[pltpu.VMEM((3, H + 2, W + 2, C), x.dtype)],
+        scratch_shapes=[
+            pltpu.VMEM((3, H, W, C), x.dtype),
+            pltpu.VMEM((3, H + 2, W + 2, C), x.dtype),
+            pltpu.SemaphoreType.DMA((3,)),
+        ],
         cost_estimate=pl.CostEstimate(
             flops=2 * B * D * H * W * 27 * C * Cout,
             bytes_accessed=(
-                x.size * x.dtype.itemsize * 2 + w27.size * 2
+                x.size * x.dtype.itemsize * 3 + w27.size * 2
             ),
             transcendentals=0,
         ),
