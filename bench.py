@@ -137,9 +137,15 @@ def main():
             )
             out = gen_step(z, cond)
             jax.block_until_ready(out[0])
+            # chain each iteration on the previous output: independent
+            # repeated calls measured impossibly fast over the tunneled
+            # device (async dispatch artifact — round 1's 571 samples/s
+            # was this), while a data dependency forces every call onto
+            # the critical path
             t0 = time.perf_counter()
             for _ in range(10):
                 out = gen_step(z, cond)
+                z = z + 1e-30 * jnp.sum(out[2])
             jax.block_until_ready(out[0])
             gen_rate = batch_size * 10 / (time.perf_counter() - t0) / n_chips
         except Exception:

@@ -266,6 +266,67 @@ def absorb_small_components(
     )
 
 
+def erode6(fg: jnp.ndarray) -> jnp.ndarray:
+    """Binary erosion with the 6-neighbor ball(1) structuring element —
+    exactly the reference's marker erosion (watershed.py:27-33, ball(1))."""
+    out = fg
+    for axis in range(3):
+        for shift in (1, -1):
+            n = jnp.roll(fg, shift, axis=axis)
+            d = fg.shape[axis]
+            ax_idx = jax.lax.broadcasted_iota(jnp.int32, fg.shape, axis)
+            edge = (ax_idx == 0) if shift == 1 else (ax_idx == d - 1)
+            out = out & jnp.where(edge, False, n)
+    return out
+
+
+def split_by_erosion_cores(
+    labels: jnp.ndarray,
+    eroded: jnp.ndarray,
+    fg: jnp.ndarray,
+    wmin: int = 8,
+) -> jnp.ndarray:
+    """One level of the reference's marker split: regions of ``labels``
+    whose eroded mask holds >= 2 cores of >= wmin voxels are BFS-relabeled
+    to their nearest core (the watershed flood analog, watershed.py:98-111);
+    regions with < 2 valid cores are untouched.  Returns new region labels
+    with the root invariant preserved (each region's label is a voxel index
+    inside it)."""
+    shape = labels.shape
+    n_vox = shape[0] * shape[1] * shape[2]
+    cores = connected_components_same_value(eroded.astype(jnp.int32))
+    cores_f = cores.reshape(-1)
+    lab_f = labels.reshape(-1)
+    fg_f = fg.reshape(-1)
+    in_core = cores_f < n_vox
+
+    core_size = jax.ops.segment_sum(
+        in_core.astype(jnp.float32), cores_f, num_segments=n_vox + 1
+    )
+    vox_idx = jnp.arange(n_vox, dtype=jnp.int32)
+    valid_core_v = in_core & (core_size[jnp.minimum(cores_f, n_vox)] >= wmin)
+    is_core_root = valid_core_v & (cores_f == vox_idx)
+    cores_per_region = jax.ops.segment_sum(
+        is_core_root.astype(jnp.float32), lab_f, num_segments=n_vox + 1
+    )
+    region_splits = cores_per_region[jnp.minimum(lab_f, n_vox)] >= 2
+
+    # seeds: valid-core voxels of splitting regions keep their core label;
+    # every voxel of a non-splitting region is its own seed (region label)
+    seed = fg_f & (jnp.where(region_splits, valid_core_v, True))
+    seed_labels = jnp.where(region_splits, cores_f, lab_f)
+    new = nearest_seed_labels(
+        seed.reshape(shape),
+        labels,                      # BFS stays inside the old region
+        fg,
+        seed_labels=seed_labels.reshape(shape),
+    )
+    # a splitting region could strand voxels if some core was invalid and
+    # unreachable — they come back as n_vox (background); regions always
+    # retain their valid cores, so atoms are never lost, only trimmed
+    return new
+
+
 def mode_filter(species: jnp.ndarray, num_classes: int) -> jnp.ndarray:
     """3^3 majority vote over nonzero labels — denoises patchy segmenter
     output before connected components (a U-Net's per-voxel argmax speckles
@@ -293,7 +354,8 @@ def mode_filter(species: jnp.ndarray, num_classes: int) -> jnp.ndarray:
     jax.jit,
     static_argnames=("max_atoms", "min_voxels", "smooth_classes",
                      "split_peaks", "peak_window", "absorb_min",
-                     "absorb_frac"),
+                     "absorb_frac", "method", "erosion_levels", "wmin",
+                     "vote_classes"),
 )
 def extract_atoms(
     density: jnp.ndarray,   # (d, d, d) float (drives peak splitting)
@@ -306,6 +368,10 @@ def extract_atoms(
     peak_window: int = 2,
     absorb_min: int = 0,
     absorb_frac: float = 0.2,
+    method: str = "species",
+    erosion_levels: int = 1,
+    wmin: int = 8,
+    vote_classes: int = 95,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Fixed-shape atom extraction.
 
@@ -329,33 +395,54 @@ def extract_atoms(
     (watershed.py:98-144).  Off by default: on real decoded grids the
     merging it guards against was never observed, while decoder density
     ripples make peak splitting overcount (measured in round 2).
+
+    method="binary" mirrors the reference pipeline exactly instead of
+    partitioning by species: connected components of the BINARY occupancy
+    (watershed.py:56), `erosion_levels` rounds of marker-erosion splitting
+    (regions with >= 2 eroded cores of >= wmin voxels BFS-split to their
+    nearest core; the convexity gate is redundant for the split decision —
+    a convex blob's erosion is connected, so it can never produce two
+    cores), then MAJORITY-VOTE species per region over `vote_classes`
+    classes (watershed.py:158-167).  This is the production fused-path
+    method: it absorbs species-confused fringe patches the way the
+    reference's vote does AND splits touching atoms the way its watershed
+    does.
     """
     shape = species.shape
     n_vox = shape[0] * shape[1] * shape[2]
     spec = jnp.where(mask > 0, species.astype(jnp.int32), 0)
     if smooth_classes:
         spec = jnp.where(mask > 0, mode_filter(spec, smooth_classes), 0)
-    fg = spec > 0
-    cc = connected_components_same_value(spec)
-    if absorb_min:
-        # absorbed voxels now carry their large region's label; background
-        # (and any unreachable voxel) carries n_vox, same as the CC pass
-        cc = absorb_small_components(
-            cc, fg.astype(jnp.int32), absorb_min=absorb_min,
-            absorb_frac=absorb_frac,
-        )
-    if split_peaks:
-        seeds = density_peaks(density, cc, fg, window=peak_window)
-        labels = nearest_seed_labels(seeds, cc, fg).reshape(-1)
+    if method == "binary":
+        fg = mask > 0
+        lab3 = connected_components_same_value(fg.astype(jnp.int32))
+        er = fg
+        for _ in range(erosion_levels):
+            er = erode6(er)
+            lab3 = split_by_erosion_cores(lab3, er, fg, wmin=wmin)
+        labels = lab3.reshape(-1)
     else:
+        fg = spec > 0
+        cc = connected_components_same_value(spec)
+        if absorb_min:
+            # absorbed voxels now carry their large region's label;
+            # background (and unreachable voxels) carries n_vox
+            cc = absorb_small_components(
+                cc, fg.astype(jnp.int32), absorb_min=absorb_min,
+                absorb_frac=absorb_frac,
+            )
+        if split_peaks:
+            seeds = density_peaks(density, cc, fg, window=peak_window)
+            cc = nearest_seed_labels(seeds, cc, fg)
         labels = cc.reshape(-1)
     spec_f = spec.reshape(-1)
+    fg_f = fg.reshape(-1)
 
     # Region sizes; roots are voxels whose label equals their own index.
-    ones = (spec_f > 0).astype(jnp.float32)
+    ones = fg_f.astype(jnp.float32)
     counts = jax.ops.segment_sum(ones, labels, num_segments=n_vox + 1)
     vox_idx = jnp.arange(n_vox, dtype=jnp.int32)
-    is_root = (labels == vox_idx) & (spec_f > 0)
+    is_root = (labels == vox_idx) & fg_f
     # counts indexed by voxel id == counts[:n_vox] (labels are voxel ids);
     # a slice, not a 32k-element gather (gathers serialize on TPU).
     own_count = counts[:n_vox]
@@ -386,9 +473,23 @@ def extract_atoms(
     )
     centroids = sums[:max_atoms] / jnp.maximum(slot_counts[:max_atoms, None], 1.0)
 
-    # Species per region: constant within a same-value component — read the
-    # root voxel's value.
-    atoms = jnp.where(slot_valid, spec_f[top_idx], 0).astype(jnp.int32)
+    if method == "binary":
+        # majority-vote species per region over nonzero classes
+        # (watershed.py:158-167)
+        onehot = jax.nn.one_hot(spec_f, vote_classes, dtype=jnp.float32)
+        votes = jax.ops.segment_sum(
+            onehot * w[:, None], slot, num_segments=max_atoms + 1
+        )
+        votes = votes.at[:, 0].set(0.0)
+        atoms = jnp.where(
+            slot_valid & (jnp.max(votes[:max_atoms], axis=1) > 0),
+            jnp.argmax(votes[:max_atoms], axis=1),
+            0,
+        ).astype(jnp.int32)
+    else:
+        # species constant within a same-value component — read the root
+        # voxel's value
+        atoms = jnp.where(slot_valid, spec_f[top_idx], 0).astype(jnp.int32)
     valid = slot_valid & (slot_counts[:max_atoms] > 0) & (atoms > 0)
     atoms = jnp.where(valid, atoms, 0)
     centroids = jnp.where(valid[:, None], centroids, 0.0)
@@ -399,12 +500,15 @@ def extract_atoms_batch(
     density, species, mask, max_atoms: int = 64, min_voxels: int = 4,
     smooth_classes: int = 0, split_peaks: bool = False, peak_window: int = 2,
     absorb_min: int = 0, absorb_frac: float = 0.2,
+    method: str = "species", erosion_levels: int = 1, wmin: int = 8,
+    vote_classes: int = 95,
 ):
     """vmapped extraction over a batch of grids."""
     fn = functools.partial(
         extract_atoms, max_atoms=max_atoms, min_voxels=min_voxels,
         smooth_classes=smooth_classes, split_peaks=split_peaks,
         peak_window=peak_window, absorb_min=absorb_min,
-        absorb_frac=absorb_frac,
+        absorb_frac=absorb_frac, method=method,
+        erosion_levels=erosion_levels, wmin=wmin, vote_classes=vote_classes,
     )
     return jax.vmap(fn)(density, species, mask)

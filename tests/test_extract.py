@@ -272,6 +272,92 @@ class TestAbsorption:
         assert sorted(np.asarray(a)[np.asarray(v)].tolist()) == [8, 22]
 
 
+class TestBinaryMethod:
+    """method="binary": the host-pipeline mirror (binary-blob CC,
+    erosion-marker splitting, majority-vote species) — the production
+    fused-path method, measured at 1000/1000 atom-count parity with the
+    host watershed on the campaign generation population."""
+
+    def test_dumbbell_splits_like_host(self):
+        d = 26
+        M = gaussian_blob(d, (8, 13, 13), 2.0) + gaussian_blob(d, (17, 13, 13), 2.0)
+        Sb = (M > 0.08).astype(np.int32)
+        S = np.where(Sb, 13, 0).astype(np.int32)
+        atoms_h, mu_h = watershed_clustering(M, S, Sb)
+        a, mu, v = extract_atoms(
+            jnp.asarray(M), jnp.asarray(S), jnp.asarray(Sb),
+            method="binary", erosion_levels=3,
+        )
+        v = np.asarray(v)
+        assert int(v.sum()) == len(atoms_h) == 2
+        mu_d = np.asarray(mu)[v]
+        for m_h in mu_h:
+            assert np.min(np.linalg.norm(mu_d - m_h, axis=1)) < 1.5
+
+    def test_species_confused_blob_majority_voted(self):
+        """A single blob whose voxels the segmenter splits between two
+        confusable species is ONE atom of the majority species — the
+        reference's vote (watershed.py:158-167), and the measured cause of
+        the round-1 fused overcounting."""
+        d = 24
+        M = gaussian_blob(d, (12, 12, 12), 3.0)
+        Sb = (M > 0.08).astype(np.int32)
+        S = np.where(Sb, 26, 0).astype(np.int32)
+        rng = np.random.default_rng(0)
+        S[(rng.random(S.shape) < 0.3) & (Sb > 0)] = 25
+        atoms_h, _ = watershed_clustering(M, S, Sb)
+        a, _, v = extract_atoms(
+            jnp.asarray(M), jnp.asarray(S), jnp.asarray(Sb),
+            method="binary", erosion_levels=3,
+        )
+        v = np.asarray(v)
+        assert int(v.sum()) == len(atoms_h) == 1
+        assert np.asarray(a)[v][0] == atoms_h[0] == 26
+
+    def test_single_blob_never_oversplits(self):
+        d = 24
+        M = gaussian_blob(d, (12, 12, 12), 3.5)
+        Sb = (M > 0.08).astype(np.int32)
+        S = np.where(Sb, 8, 0).astype(np.int32)
+        _, _, v = extract_atoms(
+            jnp.asarray(M), jnp.asarray(S), jnp.asarray(Sb),
+            method="binary", erosion_levels=3,
+        )
+        assert int(np.asarray(v).sum()) == 1
+
+    def test_structure_parity(self):
+        grid = GridSpec(d=32)
+        a0 = 4.2
+        lattice = Lattice.from_parameters(a0, a0, a0)
+        structure = Structure(
+            lattice,
+            [
+                Site(56, np.array([0.1, 0.1, 0.1])),
+                Site(22, np.array([0.6, 0.6, 0.6])),
+                Site(8, np.array([0.6, 0.6, 0.1])),
+                Site(8, np.array([0.6, 0.1, 0.6])),
+                Site(8, np.array([0.1, 0.6, 0.6])),
+            ],
+        )
+        N, z, r = structure.site_arrays()
+        cart = lattice.cartesian(N)
+        s, zz, ss, mm = pad_sites(cart, z, r, 16)
+        abc = np.array(lattice.abc, np.float32)
+        M, S = voxelize(s, zz, ss, mm, jnp.asarray(abc), grid)
+        M, S = np.asarray(M), np.asarray(S).astype(np.int32)
+        Sb = (S != 0).astype(np.int32)
+        atoms_h, mu_h = watershed_clustering(M, S, Sb)
+        a, mu, v = extract_atoms(
+            jnp.asarray(M), jnp.asarray(S), jnp.asarray(Sb), max_atoms=16,
+            method="binary", erosion_levels=3,
+        )
+        v = np.asarray(v)
+        assert sorted(np.asarray(a)[v].tolist()) == sorted(atoms_h.tolist())
+        mu_d = np.asarray(mu)[v]
+        for m_h in mu_h:
+            assert np.min(np.linalg.norm(mu_d - m_h, axis=1)) < 1.2
+
+
 class TestModeFilter:
     def test_denoises_speckled_labels(self, rng=None):
         """Random label speckle inside a blob gets voted back to the majority;

@@ -327,7 +327,8 @@ def main(argv=None):
             Sm = jnp.where(binary > 0, labels, 0)
             atoms_d, mu_d, valid_d = extract_atoms_batch(
                 M[..., 0], Sm, binary,
-                smooth_classes=args.num_classes, absorb_min=32,
+                method="binary", erosion_levels=1,
+                vote_classes=args.num_classes,
             )
             M = np.asarray(M)
             labels = np.asarray(labels)
