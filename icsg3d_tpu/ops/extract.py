@@ -214,6 +214,52 @@ def nearest_seed_labels(
     return lab
 
 
+def top_regions_by_size(
+    labels_flat: jnp.ndarray,
+    k: int,
+    min_size: int,
+    n_vox: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Top-``k`` region labels by voxel count, WITHOUT scatters.
+
+    ``jax.ops.segment_sum`` with ~32k segments lowers to a scatter-add
+    that costs ~50 ms for a 128-batch on TPU (measured,
+    output/ns10k/profile_prims.json) — it was 3x the entire extraction
+    budget.  Sorting the labels and ranking run lengths does the same
+    histogram + top-k in ~0.3 ms: sort, run-start flags, next-start via a
+    reversed cumulative min, run length = next start - this start.
+
+    labels_flat: (n_vox,) int32 region labels where each region's label is
+    a voxel index inside it and background carries >= n_vox.
+
+    Returns (top_labels (k,) int32 — n_vox for empty slots,
+             top_sizes (k,) float32,
+             valid (k,) bool — region exists and has >= min_size voxels).
+    Slot order is size-descending with ties broken by smaller label,
+    matching the previous segment_sum + top_k ranking exactly.
+    """
+    s = jnp.sort(labels_flat)
+    iota = jnp.arange(n_vox, dtype=jnp.int32)
+    is_start = jnp.concatenate(
+        [jnp.ones((1,), bool), s[1:] != s[:-1]]
+    )
+    start_idx = jnp.where(is_start, iota, jnp.int32(n_vox))
+    # suffix min (inclusive) of start_idx, then shift for "next start
+    # strictly after i"
+    suffmin = jax.lax.cummin(start_idx[::-1])[::-1]
+    nxt = jnp.concatenate([suffmin[1:], jnp.full((1,), n_vox, jnp.int32)])
+    run_len = (nxt - iota).astype(jnp.float32)
+    score = jnp.where(
+        is_start & (s < n_vox) & (run_len >= min_size), run_len, -jnp.inf
+    )
+    # top_k ties break toward the earlier position = smaller label (s is
+    # ascending), the same preference the voxel-index ranking had
+    top_sizes, top_pos = jax.lax.top_k(score, k)
+    valid = jnp.isfinite(top_sizes)
+    top_labels = jnp.where(valid, s[top_pos], jnp.int32(n_vox))
+    return top_labels, jnp.where(valid, top_sizes, 0.0), valid
+
+
 def absorb_small_components(
     spec_cc: jnp.ndarray,
     mask: jnp.ndarray,
@@ -237,22 +283,50 @@ def absorb_small_components(
     reference's majority vote.  A blob containing ONLY small components
     (a genuinely small isolated atom) keeps them all: absorption only
     fires where a larger sibling exists.
+
+    Scatter-free: sizes come from capped match matrices against the 128
+    largest components/blobs (see top_regions_by_size for why).  A
+    component outside the global top 128 reads size 0 and is absorbed when
+    its blob holds a ranked sibling; a blob whose components are ALL
+    outside the top 128 keeps them (largest reads 0) — both only reachable
+    with >128 components, far past max_atoms-scale populations.
     """
     shape = spec_cc.shape
     n_vox = shape[0] * shape[1] * shape[2]
+    k = 128
     fg = mask > 0
     blob_cc = connected_components_same_value(fg.astype(jnp.int32))
 
     cc_flat = spec_cc.reshape(-1)
     blob_flat = blob_cc.reshape(-1)
     fg_flat = fg.reshape(-1)
-    ones = fg_flat.astype(jnp.float32)
-    sizes = jax.ops.segment_sum(ones, cc_flat, num_segments=n_vox + 1)
-    size_v = sizes[jnp.minimum(cc_flat, n_vox)]
-    largest_in_blob = jax.ops.segment_max(
-        jnp.where(fg_flat, size_v, 0.0), blob_flat, num_segments=n_vox + 1
+    comp_labels, comp_sizes, comp_ok = top_regions_by_size(
+        jnp.where(fg_flat, cc_flat, jnp.int32(n_vox)), k, 1, n_vox
     )
-    largest_v = largest_in_blob[jnp.minimum(blob_flat, n_vox)]
+    m_comp = (cc_flat[:, None] == comp_labels[None, :]) & comp_ok[None, :]
+    size_v = jnp.sum(
+        m_comp.astype(jnp.float32) * comp_sizes[None, :], axis=1
+    )
+    # each ranked component's blob = blob label at its root voxel; the
+    # largest component per ranked blob is a (k x k) masked max
+    comp_blob = jnp.where(
+        comp_ok,
+        blob_flat[jnp.minimum(comp_labels, n_vox - 1)],
+        jnp.int32(n_vox),
+    )
+    blob_labels, _, blob_ok = top_regions_by_size(
+        jnp.where(fg_flat, blob_flat, jnp.int32(n_vox)), k, 1, n_vox
+    )
+    same_blob = (comp_blob[:, None] == blob_labels[None, :]) & (
+        comp_ok[:, None] & blob_ok[None, :]
+    )
+    largest_b = jnp.max(
+        jnp.where(same_blob, comp_sizes[:, None], 0.0), axis=0
+    )
+    m_blob = (blob_flat[:, None] == blob_labels[None, :]) & blob_ok[None, :]
+    largest_v = jnp.sum(
+        m_blob.astype(jnp.float32) * largest_b[None, :], axis=1
+    )
     thresh = jnp.maximum(
         jnp.float32(absorb_min), absorb_frac * largest_v
     )
@@ -285,31 +359,51 @@ def split_by_erosion_cores(
     eroded: jnp.ndarray,
     fg: jnp.ndarray,
     wmin: int = 8,
+    max_cores: int = 128,
 ) -> jnp.ndarray:
     """One level of the reference's marker split: regions of ``labels``
     whose eroded mask holds >= 2 cores of >= wmin voxels are BFS-relabeled
     to their nearest core (the watershed flood analog, watershed.py:98-111);
     regions with < 2 valid cores are untouched.  Returns new region labels
     with the root invariant preserved (each region's label is a voxel index
-    inside it)."""
+    inside it).
+
+    Scatter-free: per-core sizes and per-region core counts come from
+    ``top_regions_by_size`` + match matrices against the (<= ``max_cores``)
+    largest cores instead of 32k-segment segment_sums (the measured TPU
+    scatter cliff — see top_regions_by_size).  Only the ``max_cores``
+    largest cores can act as split markers; a sample would need more than
+    ``max_cores`` simultaneously-valid cores (>= 2 per splitting region)
+    for that cap to bite, which cannot happen at max_atoms-scale region
+    counts."""
     shape = labels.shape
     n_vox = shape[0] * shape[1] * shape[2]
     cores = connected_components_same_value(eroded.astype(jnp.int32))
     cores_f = cores.reshape(-1)
     lab_f = labels.reshape(-1)
     fg_f = fg.reshape(-1)
-    in_core = cores_f < n_vox
 
-    core_size = jax.ops.segment_sum(
-        in_core.astype(jnp.float32), cores_f, num_segments=n_vox + 1
+    core_labels, _, core_ok = top_regions_by_size(
+        cores_f, max_cores, wmin, n_vox
     )
-    vox_idx = jnp.arange(n_vox, dtype=jnp.int32)
-    valid_core_v = in_core & (core_size[jnp.minimum(cores_f, n_vox)] >= wmin)
-    is_core_root = valid_core_v & (cores_f == vox_idx)
-    cores_per_region = jax.ops.segment_sum(
-        is_core_root.astype(jnp.float32), lab_f, num_segments=n_vox + 1
+    # (n_vox, max_cores) membership in a valid core — built and reduced in
+    # one fused pass, never a scatter
+    m_core = (cores_f[:, None] == core_labels[None, :]) & core_ok[None, :]
+    valid_core_v = jnp.any(m_core, axis=1)
+
+    # each valid core's region = labels at the core's root voxel
+    core_region = jnp.where(
+        core_ok,
+        lab_f[jnp.minimum(core_labels, n_vox - 1)],
+        jnp.int32(n_vox),
     )
-    region_splits = cores_per_region[jnp.minimum(lab_f, n_vox)] >= 2
+    cores_in_region = jnp.sum(
+        ((lab_f[:, None] == core_region[None, :]) & core_ok[None, :]).astype(
+            jnp.int32
+        ),
+        axis=1,
+    )
+    region_splits = fg_f & (cores_in_region >= 2)
 
     # seeds: valid-core voxels of splitting regions keep their core label;
     # every voxel of a non-splitting region is its own seed (region label)
@@ -438,25 +532,26 @@ def extract_atoms(
     spec_f = spec.reshape(-1)
     fg_f = fg.reshape(-1)
 
-    # Region sizes; roots are voxels whose label equals their own index.
-    ones = fg_f.astype(jnp.float32)
-    counts = jax.ops.segment_sum(ones, labels, num_segments=n_vox + 1)
-    vox_idx = jnp.arange(n_vox, dtype=jnp.int32)
-    is_root = (labels == vox_idx) & fg_f
-    # counts indexed by voxel id == counts[:n_vox] (labels are voxel ids);
-    # a slice, not a 32k-element gather (gathers serialize on TPU).
-    own_count = counts[:n_vox]
-    root_score = jnp.where(
-        is_root & (own_count >= min_voxels), own_count, -jnp.inf
+    # Rank regions by size without a 32k-segment scatter (the measured TPU
+    # cliff — see top_regions_by_size).  Background and BFS-unreached
+    # voxels already carry n_vox; the extra where keeps that invariant for
+    # every method path.
+    labels = jnp.where(fg_f, labels, jnp.int32(n_vox))
+    top_idx, _, slot_valid = top_regions_by_size(
+        labels, max_atoms, min_voxels, n_vox
     )
-    top_val, top_idx = jax.lax.top_k(root_score, max_atoms)
-    slot_valid = jnp.isfinite(top_val)
 
-    # Map every voxel's region label to a slot (or max_atoms = background).
+    # Map every voxel's region label to a slot via a membership matrix and
+    # reduce with MATMULS, not segment_sums: even the 65-segment scatters
+    # cost 42-76 ms for a vmapped 128-batch on TPU (measured,
+    # output/ns10k/profile_bisect2.json) while the (n_vox x max_atoms)^T
+    # matmul reductions are < 1 ms on the MXU.  Every operand (0/1
+    # membership, integer voxel coordinates, one-hot species) is exactly
+    # representable and the MXU accumulates in f32, so the results are
+    # bit-exact matches of the scatter form.
     match = labels[:, None] == top_idx[None, :]          # (n_vox, max_atoms)
     match = match & slot_valid[None, :]
-    in_any = jnp.any(match, axis=1)
-    slot = jnp.where(in_any, jnp.argmax(match, axis=1), max_atoms)
+    mf = match.astype(jnp.float32)
 
     coords = jnp.stack(
         [
@@ -466,31 +561,28 @@ def extract_atoms(
         ],
         axis=-1,
     )
-    w = in_any.astype(jnp.float32)
-    slot_counts = jax.ops.segment_sum(w, slot, num_segments=max_atoms + 1)
-    sums = jax.ops.segment_sum(
-        coords * w[:, None], slot, num_segments=max_atoms + 1
-    )
-    centroids = sums[:max_atoms] / jnp.maximum(slot_counts[:max_atoms, None], 1.0)
+    slot_counts = jnp.sum(mf, axis=0)                    # (max_atoms,)
+    sums = mf.T @ coords                                 # (max_atoms, 3)
+    centroids = sums / jnp.maximum(slot_counts[:, None], 1.0)
 
     if method == "binary":
         # majority-vote species per region over nonzero classes
         # (watershed.py:158-167)
         onehot = jax.nn.one_hot(spec_f, vote_classes, dtype=jnp.float32)
-        votes = jax.ops.segment_sum(
-            onehot * w[:, None], slot, num_segments=max_atoms + 1
-        )
+        votes = mf.T @ onehot                            # (max_atoms, classes)
         votes = votes.at[:, 0].set(0.0)
         atoms = jnp.where(
-            slot_valid & (jnp.max(votes[:max_atoms], axis=1) > 0),
-            jnp.argmax(votes[:max_atoms], axis=1),
+            slot_valid & (jnp.max(votes, axis=1) > 0),
+            jnp.argmax(votes, axis=1),
             0,
         ).astype(jnp.int32)
     else:
         # species constant within a same-value component — read the root
-        # voxel's value
-        atoms = jnp.where(slot_valid, spec_f[top_idx], 0).astype(jnp.int32)
-    valid = slot_valid & (slot_counts[:max_atoms] > 0) & (atoms > 0)
+        # voxel's value (empty slots carry n_vox; clamp before the gather)
+        atoms = jnp.where(
+            slot_valid, spec_f[jnp.minimum(top_idx, n_vox - 1)], 0
+        ).astype(jnp.int32)
+    valid = slot_valid & (slot_counts > 0) & (atoms > 0)
     atoms = jnp.where(valid, atoms, 0)
     centroids = jnp.where(valid[:, None], centroids, 0.0)
     return atoms, centroids, valid
