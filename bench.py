@@ -90,13 +90,15 @@ def main():
     # Warmup (compile) then timed steps.
     for _ in range(3):
         state, mets = train_step(state, batch, key)
-    jax.block_until_ready(mets["loss"])
+    jax.device_get(mets["loss"])
 
     n_steps = 20
     t0 = time.perf_counter()
     for _ in range(n_steps):
         state, mets = train_step(state, batch, key)
-    jax.block_until_ready(mets["loss"])
+    # a host fetch (unlike block_until_ready) always waits for execution
+    # over the tunneled device — see utils/profiling.py docstring
+    jax.device_get(mets["loss"])
     dt = time.perf_counter() - t0
 
     n_chips = len(jax.devices())
@@ -136,7 +138,7 @@ def main():
                 np.eye(10, dtype=np.float32)[rng.integers(0, 10, batch_size)]
             )
             out = gen_step(z, cond)
-            jax.block_until_ready(out[0])
+            jax.device_get(out[0].ravel()[0])
             # chain each iteration on the previous output: independent
             # repeated calls measured impossibly fast over the tunneled
             # device (async dispatch artifact — round 1's 571 samples/s
@@ -146,7 +148,7 @@ def main():
             for _ in range(10):
                 out = gen_step(z, cond)
                 z = z + 1e-30 * jnp.sum(out[2])
-            jax.block_until_ready(out[0])
+            jax.device_get(out[0].ravel()[0])
             gen_rate = batch_size * 10 / (time.perf_counter() - t0) / n_chips
         except Exception:
             gen_rate = None
@@ -173,11 +175,11 @@ def main():
             ustate2, umets = ustep(ustate, ubatch)
             for _ in range(2):
                 ustate2, umets = ustep(ustate2, ubatch)
-            jax.block_until_ready(umets["loss"])
+            jax.device_get(umets["loss"])
             t0 = time.perf_counter()
             for _ in range(10):
                 ustate2, umets = ustep(ustate2, ubatch)
-            jax.block_until_ready(umets["loss"])
+            jax.device_get(umets["loss"])
             unet_rate = batch_size * 10 / (time.perf_counter() - t0) / n_chips
         except Exception:
             unet_rate = None
@@ -217,11 +219,11 @@ def main():
             cstate2, cmets = cstep(cstate, cbatch)
             for _ in range(2):
                 cstate2, cmets = cstep(cstate2, cbatch)
-            jax.block_until_ready(cmets["loss"])
+            jax.device_get(cmets["loss"])
             t0 = time.perf_counter()
             for _ in range(10):
                 cstate2, cmets = cstep(cstate2, cbatch)
-            jax.block_until_ready(cmets["loss"])
+            jax.device_get(cmets["loss"])
             cgcnn_rate = cbs * 10 / (time.perf_counter() - t0) / n_chips
         except Exception:
             cgcnn_rate = None

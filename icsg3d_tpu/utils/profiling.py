@@ -6,16 +6,36 @@ The reference's only timing was a per-epoch wall-clock print
 - ``trace``: context manager around jax.profiler for on-TPU traces
   viewable in TensorBoard/XProf;
 - ``StepTimer``: running step-time/throughput/MFU meter for train loops;
-- ``flops_of_jitted``: XLA cost analysis of a jitted function.
+- ``flops_of_jitted``: XLA cost analysis of a jitted function;
+- ``fetch_time`` / ``timing_selftest``: tunnel-robust wall-clock timing.
+
+Timing over the tunneled axon device is treacherous in two ways:
+
+1. *Async dispatch*: independent repeated calls return immediately, so a
+   timed loop without a data dependency measures dispatch, not execution.
+   Every iteration must consume the previous iteration's output.
+2. *Degraded blocking*: in a long-lived process (the plugin leaks host
+   state per array) ``jax.block_until_ready`` can start returning before
+   execution completes, silently turning chained-loop timings into
+   dispatch-only timings.  A host *fetch* (``jax.device_get``) always
+   waits.  Calibration (known-FLOPs bf16 4096-matmul chain, fresh
+   process): block and fetch agree to <2%, per-matmul 0.86 ms vs the
+   0.70 ms v5e roofline.  Mid-session, block was observed to report a
+   1.1 TFLOP matmul "done" in 0.07 ms while fetch reported ~5.8 ms
+   (the roofline value).
+
+Therefore: time with ``fetch_time`` (chains + fetches), and guard
+long-lived measurement sessions with ``timing_selftest``.
 """
 
 from __future__ import annotations
 
 import contextlib
 import time
-from typing import Optional
+from typing import Callable, Optional
 
 import jax
+import jax.numpy as jnp
 
 # Peak bf16 matmul FLOP/s per chip by generation (for MFU).
 PEAK_FLOPS = {
@@ -45,6 +65,86 @@ def flops_of_jitted(jitted_fn, *args, **kwargs) -> float:
     except Exception:
         pass
     return 0.0
+
+
+def fetch_time(
+    step: Callable,
+    x0,
+    iters: int = 10,
+    probe: Optional[Callable] = None,
+    overhead_correct: bool = False,
+) -> float:
+    """Per-iteration wall-clock of ``x -> step(x)``, tunnel-robustly.
+
+    Chains ``iters`` applications (each consumes the previous output) and
+    ends with a host fetch of a scalar probe, which — unlike
+    ``block_until_ready`` — always waits for real execution on the axon
+    tunnel (see module docstring).  ``step`` should already be jitted and
+    warmed up; ``probe`` maps the final output to a fetchable scalar
+    (default: the output itself, assumed scalar-fetchable via its first
+    element).
+
+    With ``overhead_correct=True`` runs the loop at ``iters`` and
+    ``2*iters`` and returns the difference slope, cancelling the fixed
+    dispatch+fetch overhead (~1-2 ms over the tunnel).
+    """
+
+    def _probe(x):
+        if probe is not None:
+            return probe(x)
+        leaf = jax.tree_util.tree_leaves(x)[0]
+        return leaf.ravel()[0]
+
+    def run(k: int) -> float:
+        x = x0
+        t0 = time.perf_counter()
+        for _ in range(k):
+            x = step(x)
+        jax.device_get(_probe(x))
+        return time.perf_counter() - t0
+
+    # warmup (compile + one fetch path)
+    run(1)
+    t1 = run(iters)
+    if not overhead_correct:
+        return t1 / iters
+    t2 = run(2 * iters)
+    return (t2 - t1) / iters
+
+
+def timing_selftest(n: int = 2048, k: int = 10) -> dict:
+    """Detect degraded ``block_until_ready`` in the current process.
+
+    Runs a chained bf16 matmul with known FLOPs twice — once timed via
+    block, once via fetch — and reports both.  ``degraded=True`` means
+    block-based timings in this process are dispatch-only and must not
+    be trusted (restart the process or use ``fetch_time``).
+    """
+    mm = jax.jit(lambda x: (x @ x) * (1.0 / n))
+    x = jnp.ones((n, n), jnp.bfloat16)
+    x = mm(x)
+    jax.block_until_ready(x)
+    jax.device_get(x[0, 0])
+
+    y = x
+    t0 = time.perf_counter()
+    for _ in range(k):
+        y = mm(y)
+    jax.block_until_ready(y)
+    t_block = time.perf_counter() - t0
+
+    y = x
+    t0 = time.perf_counter()
+    for _ in range(k):
+        y = mm(y)
+    jax.device_get(y[0, 0])
+    t_fetch = time.perf_counter() - t0
+
+    return {
+        "t_block_ms": t_block * 1e3,
+        "t_fetch_ms": t_fetch * 1e3,
+        "degraded": t_block < 0.5 * t_fetch,
+    }
 
 
 class StepTimer:
