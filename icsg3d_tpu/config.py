@@ -139,6 +139,14 @@ class VAEConfig:
     perceptual_taps: Tuple[int, ...] = (3, 5, 7, 9)
     perceptual_tap_weights: Tuple[float, ...] = (1.0, 1.0, 1.0, 1.0)
     dtype: str = "bfloat16"
+    # Activation layout for the conv stacks.  "ndhwc" is the plain XLA
+    # path; "ndcs" runs large-grid blocks in the spatial-major
+    # (B, D, C, H*W) layout on the tap-packed Pallas conv
+    # (ops/lowc_conv.py) — XLA executes these small-channel convs at
+    # 2-12% of peak, the kernel several times faster (measured in
+    # tools/lowc_shapes_bench.py).  Parameter trees are identical in both
+    # layouts, so checkpoints are interchangeable.
+    layout: str = "ndhwc"
 
     def __post_init__(self):
         # The encoder halves the grid once per filter block, so the grid must

@@ -82,6 +82,85 @@ def upsample_3d(x, factor: int = 2):
     return x.reshape(b, d * factor, h * factor, w * factor, c)
 
 
+class SpatialMajorConv(nn.Module):
+    """Conv3D(3x3x3, SAME) on spatial-major (B, D, C, H*W) activations.
+
+    Parameter tree (kernel (3,3,3,Cin,Cout), bias (Cout,)) matches
+    nn.Conv, so checkpoints swap freely between layouts.  On TPU with a
+    supported plane size this runs the tap-packed Pallas kernel
+    (ops/lowc_conv.py) — XLA runs the VAE's small-channel convs at 2-12%
+    of peak (tools/lowc_shapes_bench.py) because NDHWC activations with
+    C < 128 waste most of each 128-lane tile; the spatial-major layout
+    keeps lanes full.  Elsewhere (CPU tests, odd shapes) it falls back to
+    an exact XLA conv through a layout round-trip.
+    """
+
+    features: int
+    hw: Tuple[int, int]
+    dtype: Dtype = jnp.bfloat16
+    use_pallas: bool | None = None  # None = auto (TPU + supported shape)
+
+    @nn.compact
+    def __call__(self, x):
+        import jax
+
+        from icsg3d_tpu.ops.lowc_conv import (
+            conv_ndcs, from_ndcs, lowc_supported, to_ndcs,
+        )
+
+        H, W = self.hw
+        cin = x.shape[2]
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (3, 3, 3, cin, self.features),
+            jnp.float32,
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros_init(), (self.features,),
+            jnp.float32,
+        )
+        x = x.astype(self.dtype)
+        use = self.use_pallas
+        if use is None:
+            use = jax.default_backend() == "tpu" and lowc_supported(H, W)
+        if use:
+            return conv_ndcs(x, kernel, bias, (H, W))
+        xh = from_ndcs(x, H, W)
+        y = jnp.asarray(
+            jax.lax.conv_general_dilated(
+                xh, kernel.astype(self.dtype), (1, 1, 1), "SAME",
+                dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+                preferred_element_type=jnp.float32,
+            )
+        ) + bias.reshape(1, 1, 1, 1, -1)
+        return to_ndcs(y.astype(self.dtype))
+
+
+def max_pool_ndcs(x, hw: Tuple[int, int], window: int = 2):
+    """2x2x2 max pool on (B, D, C, H*W) activations -> (B, D/2, C, HW/4)."""
+    b, d, c, s = x.shape
+    h, w = hw
+    x5 = x.reshape(b, d, c, h, w)
+    y = nn.max_pool(
+        x5.transpose(0, 1, 3, 4, 2),
+        window_shape=(window, window, window),
+        strides=(window, window, window),
+    )
+    return y.transpose(0, 1, 4, 2, 3).reshape(
+        b, d // window, c, (h // window) * (w // window)
+    )
+
+
+def upsample_ndcs(x, hw: Tuple[int, int], factor: int = 2):
+    """Nearest 2x upsampling on (B, D, C, H*W) -> (B, 2D, C, 4*HW)."""
+    b, d, c, s = x.shape
+    h, w = hw
+    x = x.reshape(b, d, 1, c, h, 1, w, 1)
+    x = jnp.broadcast_to(x, (b, d, factor, c, h, factor, w, factor))
+    return x.reshape(b, d * factor, c, h * w * factor * factor)
+
+
 def broadcast_condition(cond, spatial_shape: Sequence[int], repeat: int = 1):
     """Tile a (B, C) condition over the spatial grid -> (B, *spatial, C*repeat).
 

@@ -27,7 +27,15 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from icsg3d_tpu.config import VAEConfig
-from icsg3d_tpu.models.layers import broadcast_condition, max_pool_3d, upsample_3d
+from icsg3d_tpu.models.layers import (
+    SpatialMajorConv,
+    broadcast_condition,
+    max_pool_3d,
+    max_pool_ndcs,
+    upsample_3d,
+    upsample_ndcs,
+)
+from icsg3d_tpu.ops.lowc_conv import from_ndcs, lowc_supported, to_ndcs
 
 
 def _leaky(slope):
@@ -42,33 +50,76 @@ class Encoder(nn.Module):
         """x: (B, d, d, d, C); cond: (B, cond_bins) one-hot.
 
         Returns (z_mean, z_log_var), both (B, latent_dim) float32.
+
+        With cfg.layout == "ndcs" the large-grid blocks run in the
+        spatial-major (B, D, C, H*W) layout on the tap-packed Pallas conv
+        (ops/lowc_conv.py) and drop back to NDHWC once planes shrink below
+        one 128-lane tile; parameter names/shapes are identical in both
+        layouts, so checkpoints are interchangeable.
         """
         cfg = self.cfg
         dtype = jnp.dtype(cfg.dtype)
         x = x.astype(dtype)
-        cond_block = broadcast_condition(
-            cond.astype(dtype), x.shape[1:-1], repeat=cfg.cond_repeat
-        )
-        x = jnp.concatenate([x, cond_block], axis=-1)
+        ndcs = cfg.layout == "ndcs"
+        s = x.shape[1]
+        if ndcs and lowc_supported(s, s):
+            x = to_ndcs(x)
+            cond_block = jnp.broadcast_to(
+                jnp.tile(cond.astype(dtype), (1, cfg.cond_repeat))[
+                    :, None, :, None
+                ],
+                (x.shape[0], s, cfg.cond_bins * cfg.cond_repeat, s * s),
+            )
+            x = jnp.concatenate([x, cond_block], axis=2)
+            in_ndcs = True
+        else:
+            cond_block = broadcast_condition(
+                cond.astype(dtype), x.shape[1:-1], repeat=cfg.cond_repeat
+            )
+            x = jnp.concatenate([x, cond_block], axis=-1)
+            in_ndcs = False
 
-        for f in cfg.filters:
-            x = nn.Conv(
-                f, cfg.kernel_size, padding="SAME", dtype=dtype,
-                param_dtype=jnp.float32,
-            )(x)
-            x = nn.BatchNorm(
-                use_running_average=not train,
-                momentum=cfg.bn_momentum,
-                epsilon=cfg.bn_epsilon,
-                dtype=dtype,
-                param_dtype=jnp.float32,
-            )(x)
-            x = nn.leaky_relu(x, negative_slope=cfg.leaky_slope)
-            x = max_pool_3d(x)
+        for i, f in enumerate(cfg.filters):
+            if in_ndcs and not lowc_supported(s, s):
+                x = from_ndcs(x, s, s)
+                in_ndcs = False
+            if in_ndcs:
+                x = SpatialMajorConv(
+                    f, hw=(s, s), dtype=dtype, name=f"Conv_{i}"
+                )(x)
+                x = nn.BatchNorm(
+                    use_running_average=not train,
+                    momentum=cfg.bn_momentum,
+                    epsilon=cfg.bn_epsilon,
+                    dtype=dtype,
+                    param_dtype=jnp.float32,
+                    axis=2,
+                    name=f"BatchNorm_{i}",
+                )(x)
+                x = nn.leaky_relu(x, negative_slope=cfg.leaky_slope)
+                x = max_pool_ndcs(x, (s, s))
+            else:
+                x = nn.Conv(
+                    f, cfg.kernel_size, padding="SAME", dtype=dtype,
+                    param_dtype=jnp.float32, name=f"Conv_{i}",
+                )(x)
+                x = nn.BatchNorm(
+                    use_running_average=not train,
+                    momentum=cfg.bn_momentum,
+                    epsilon=cfg.bn_epsilon,
+                    dtype=dtype,
+                    param_dtype=jnp.float32,
+                    name=f"BatchNorm_{i}",
+                )(x)
+                x = nn.leaky_relu(x, negative_slope=cfg.leaky_slope)
+                x = max_pool_3d(x)
+            s //= 2
+        if in_ndcs:
+            x = from_ndcs(x, s, s)
 
         x = nn.Conv(
             4, cfg.kernel_size, padding="SAME", dtype=dtype,
-            param_dtype=jnp.float32,
+            param_dtype=jnp.float32, name=f"Conv_{len(cfg.filters)}",
         )(x)
         x = nn.leaky_relu(x, negative_slope=cfg.leaky_slope)
 
@@ -99,29 +150,75 @@ class Decoder(nn.Module):
         # reshape (4,4,4,4) start (vae/lattice_vae.py:208-209).
         start = cfg.grid.d // 2 ** (len(cfg.filters) - 1)
         c0 = max(cfg.latent_dim // start**3, 1)
+        ndcs = cfg.layout == "ndcs"
         x = jnp.concatenate([z, cond], axis=-1).astype(dtype)
         x = nn.Dense(
-            start**3 * c0, dtype=dtype, param_dtype=jnp.float32
+            start**3 * c0, dtype=dtype, param_dtype=jnp.float32,
+            name="Dense_0",
         )(x)
         x = x.reshape(x.shape[0], start, start, start, c0)
 
+        s = start
+        in_ndcs = False
         for i, f in enumerate(reversed(cfg.filters)):
-            x = nn.Conv(
-                f, cfg.kernel_size, padding="SAME", dtype=dtype,
-                param_dtype=jnp.float32,
+            if ndcs and not in_ndcs and lowc_supported(s, s):
+                x = to_ndcs(x)
+                in_ndcs = True
+            if in_ndcs:
+                x = SpatialMajorConv(
+                    f, hw=(s, s), dtype=dtype, name=f"Conv_{i}"
+                )(x)
+                x = nn.BatchNorm(
+                    use_running_average=not train,
+                    momentum=cfg.bn_momentum,
+                    epsilon=cfg.bn_epsilon,
+                    dtype=dtype,
+                    param_dtype=jnp.float32,
+                    axis=2,
+                    name=f"BatchNorm_{i}",
+                )(x)
+                x = nn.leaky_relu(x, negative_slope=cfg.leaky_slope)
+                if i < len(cfg.filters) - 1:
+                    x = upsample_ndcs(x, (s, s))
+                    s *= 2
+            else:
+                x = nn.Conv(
+                    f, cfg.kernel_size, padding="SAME", dtype=dtype,
+                    param_dtype=jnp.float32, name=f"Conv_{i}",
+                )(x)
+                x = nn.BatchNorm(
+                    use_running_average=not train,
+                    momentum=cfg.bn_momentum,
+                    epsilon=cfg.bn_epsilon,
+                    dtype=dtype,
+                    param_dtype=jnp.float32,
+                    name=f"BatchNorm_{i}",
+                )(x)
+                x = nn.leaky_relu(x, negative_slope=cfg.leaky_slope)
+                if i < len(cfg.filters) - 1:
+                    x = upsample_3d(x)
+                    s *= 2
+
+        channels = cfg.grid.channels
+        if in_ndcs:
+            # The output conv runs on the Pallas kernel in the compute
+            # dtype (inputs there are bf16-valued activations; the kernel
+            # accumulates in f32), then BN+ReLU finish in f32 as in the
+            # NDHWC path (vae/lattice_vae.py:225-226 clamps outputs >= 0).
+            x = SpatialMajorConv(
+                channels, hw=(s, s), dtype=dtype, name="decoder_output"
             )(x)
+            x = x.astype(jnp.float32)
             x = nn.BatchNorm(
                 use_running_average=not train,
                 momentum=cfg.bn_momentum,
                 epsilon=cfg.bn_epsilon,
-                dtype=dtype,
+                dtype=jnp.float32,
                 param_dtype=jnp.float32,
+                axis=2,
+                name="output_bn",
             )(x)
-            x = nn.leaky_relu(x, negative_slope=cfg.leaky_slope)
-            if i < len(cfg.filters) - 1:
-                x = upsample_3d(x)
-
-        channels = cfg.grid.channels
+            return from_ndcs(nn.relu(x), s, s)
         x = nn.Conv(
             channels, cfg.kernel_size, padding="SAME", dtype=jnp.float32,
             param_dtype=jnp.float32, name="decoder_output",

@@ -1,0 +1,326 @@
+"""Tap-packed low-channel Conv3D (3x3x3, SAME) Pallas kernel.
+
+Why this exists: XLA's TPU conv runs the VAE's small-channel 3D convs at
+2-12% of peak (measured per-shape in tools/lowc_shapes_bench.py) because a
+conv with Cin/Cout in the 4..64 range fills only a sliver of the MXU's
+128-wide tiles — and because NDHWC activations with C < 128 are
+lane-padded to 128 in HBM, taxing every byte moved.  The 64^3 profile
+decomposition (output/ns10k/profile64.json) showed the whole VAE forward
+at 8.3% MFU as a result.  The reference never met this problem class: its
+Keras/cuDNN stack targeted GPUs (vae/lattice_vae.py:171-230 defines the
+same 16/32/64/128-filter conv stacks this kernel serves).
+
+Design — "spatial-major" layout with taps packed into the matmul:
+
+  The kernel works on x transposed to (B, D, C, S) with S = H*W: the lane
+  dimension holds a full spatial plane (S = 1024..4096, always a multiple
+  of 128), so nothing is lane-padded, and Mosaic's DMA alignment rule
+  (minor slice must be 128-aligned — the NDHWC form with C = 14..64 is
+  uncopyable) is satisfied by construction.
+
+  y[co, h, w] = sum_{dd,dh,dw,ci} x[d+dd-1, ci, (h+dh-1, w+dw-1)] * K[...]
+
+  1. stack the 3 depth taps along sublanes:  X3 = [x[d-1]; x[d]; x[d+1]]
+     of shape (3*Cin, 128 + S + 128) — the 128-lane zero aprons absorb the
+     h-edge shifts below;
+  2. pack the 9 in-plane taps into the matmul M dim:
+         Wt[(dh,dw,co), (dd,ci)] = K[dd,dh,dw,ci,co]
+  3. one MXU matmul per output plane:  P = Wt @ X3  (f32 accum), shape
+     (9*Cout, 128+S+128): N = S is full 128-lane tiles, K = 3*Cin fills
+     33-100% of the contraction dim (vs Cout/128 = 3-12% for the naive
+     form);
+  4. 9 VPU shift-adds collapse the in-plane taps: tap (dh,dw) reads the
+     lane window offset by (dh-1)*W + (dw-1), with iota masks zeroing the
+     two w-edge columns that a flat (h,w) lane index would wrap.
+
+P never leaves VMEM — materializing it in HBM is what makes the same
+trick slow in plain XLA.  The grid is (batch, D/dblk): each program DMAs
+dblk+2 input planes and emits dblk output planes, so HBM traffic is
+~(1 + 2/dblk) reads of x and one write of y, with none of the 128/C
+lane-padding overhead of the NDHWC layout.
+
+Gradients: dx is the same kernel with spatially-flipped, channel-swapped
+weights (a transposed conv is itself a low-channel conv); dw falls back
+to XLA's kernel-gradient conv (a large-M contraction XLA handles well).
+
+``conv3d_lowc`` takes/returns ordinary NDHWC and transposes at the
+boundary; use the ndcs-native entry points to keep whole networks in the
+spatial-major layout and amortize the transposes away.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_APRON = 128  # zero lanes on each side of the plane; absorbs h-edge shifts
+
+
+def _round_up(v: int, m: int) -> int:
+    return (v + m - 1) // m * m
+
+
+def pack_weights(w):
+    """(3,3,3,Cin,Cout) -> (9*Cout, 3*Cin): rows (dh,dw,co), cols (dd,ci)."""
+    _, _, _, cin, cout = w.shape
+    return jnp.transpose(w, (1, 2, 4, 0, 3)).reshape(9 * cout, 3 * cin)
+
+
+def _kernel(x_hbm, wt_ref, b_ref, out_ref, vpad_ref, sems, *, dblk, D, W):
+    b = pl.program_id(0)
+    t = pl.program_id(1)
+    d0 = t * dblk
+    Cout = out_ref.shape[2]
+    S = out_ref.shape[3]
+    C = vpad_ref.shape[1]
+
+    vpad_ref[:] = jnp.zeros_like(vpad_ref)
+    for k in range(dblk + 2):
+        @pl.when((d0 - 1 + k >= 0) & (d0 - 1 + k < D))
+        def _(k=k):
+            pltpu.make_async_copy(
+                x_hbm.at[b, pl.ds(d0 - 1 + k, 1)],
+                vpad_ref.at[pl.ds(k, 1), :, pl.ds(_APRON, S)],
+                sems.at[k],
+            ).start()
+    for k in range(dblk + 2):
+        @pl.when((d0 - 1 + k >= 0) & (d0 - 1 + k < D))
+        def _(k=k):
+            pltpu.make_async_copy(
+                x_hbm.at[b, pl.ds(d0 - 1 + k, 1)],
+                vpad_ref.at[pl.ds(k, 1), :, pl.ds(_APRON, S)],
+                sems.at[k],
+            ).wait()
+
+    # w-edge masks: a flat (h*W + w) lane shift by dw-1 wraps rows, so the
+    # first (dw=0) / last (dw=2) column of each row must contribute zero.
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, S), 1) % W
+    first_col = col == 0
+    last_col = col == W - 1
+
+    for j in range(dblk):
+        x3 = jnp.concatenate(
+            [vpad_ref[j + dd] for dd in range(3)], axis=0
+        )
+        p = jax.lax.dot_general(
+            wt_ref[:], x3, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        acc = jnp.zeros((Cout, S), jnp.float32)
+        for dh in range(3):
+            for dw in range(3):
+                tap = dh * 3 + dw
+                off = _APRON + (dh - 1) * W + (dw - 1)
+                sl = p[tap * Cout : (tap + 1) * Cout, off : off + S]
+                if dw == 0:
+                    sl = jnp.where(first_col, 0.0, sl)
+                elif dw == 2:
+                    sl = jnp.where(last_col, 0.0, sl)
+                acc = acc + sl
+        acc = acc + b_ref[:]
+        out_ref[0, j] = acc.astype(out_ref.dtype)
+
+
+def _pick_dblk(D: int) -> int:
+    for cand in (8, 4, 2, 1):
+        if D % cand == 0:
+            return cand
+    return 1
+
+
+@functools.partial(
+    jax.jit, static_argnames=("W", "interpret", "dblk", "out_dtype")
+)
+def conv3d_lowc_ndcs(
+    x, wt, bias, W: int, interpret: bool = False, dblk: int = 0,
+    out_dtype=None,
+):
+    """Raw spatial-major conv: x (B, D, C, S=H*W), wt = pack_weights(w)
+    (9Cout, 3Cin), bias (Cout, 1) f32.  Returns (B, D, Cout, S).
+
+    Compiled mode requires S % 128 == 0 and W+1 <= 128 (apron coverage).
+    """
+    B, D, C, S = x.shape
+    cout = wt.shape[0] // 9
+    dblk = dblk or _pick_dblk(D)
+    if D % dblk:
+        raise ValueError(f"dblk {dblk} must divide D {D}")
+    if not interpret:
+        if S % 128:
+            raise ValueError(
+                f"S={S} must be a multiple of 128 for the TPU kernel"
+            )
+        if W + 1 > _APRON:
+            raise ValueError(f"W={W} exceeds the {_APRON}-lane apron")
+    out_dtype = out_dtype or x.dtype
+
+    return pl.pallas_call(
+        functools.partial(_kernel, dblk=dblk, D=D, W=W),
+        grid=(B, D // dblk),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),  # x stays in HBM
+            pl.BlockSpec(
+                wt.shape, lambda b, t: (0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (cout, 1), lambda b, t: (0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, dblk, cout, S), lambda b, t: (b, t, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, D, cout, S), out_dtype),
+        scratch_shapes=[
+            pltpu.VMEM((dblk + 2, C, S + 2 * _APRON), x.dtype),
+            pltpu.SemaphoreType.DMA((dblk + 2,)),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * D * 9 * cout * 3 * C * (S + 2 * _APRON),
+            bytes_accessed=int(
+                x.size * x.dtype.itemsize * (1 + 2 / dblk)
+                + B * D * S * cout * 2
+            ),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(x, wt, bias)
+
+
+def to_ndcs(x):
+    """(B, D, H, W, C) -> (B, D, C, H*W)."""
+    B, D, H, W, C = x.shape
+    return jnp.transpose(x, (0, 1, 4, 2, 3)).reshape(B, D, C, H * W)
+
+
+def from_ndcs(x, H: int, W: int):
+    """(B, D, C, S) -> (B, D, H, W, C)."""
+    B, D, C, _ = x.shape
+    return jnp.transpose(x.reshape(B, D, C, H, W), (0, 1, 3, 4, 2))
+
+
+def lowc_supported(H: int, W: int) -> bool:
+    return (H * W) % 128 == 0 and W + 1 <= _APRON
+
+
+def conv3d_lowc(x, w, bias=None, interpret: bool = False, dblk: int = 0):
+    """Conv3D(3x3x3, stride 1, SAME) for small channel counts, NDHWC API.
+
+    x: (B, D, H, W, Cin); w: (3, 3, 3, Cin, Cout); bias: (Cout,) or None.
+    Computes in x.dtype (use bfloat16) with f32 accumulation; returns
+    x.dtype.  Matches lax.conv_general_dilated(..., "SAME", NDHWC/DHWIO).
+    Transposes to/from the spatial-major layout at the boundary; for
+    back-to-back convs prefer conv3d_lowc_ndcs to keep the layout.
+    """
+    _, _, H, W, _ = x.shape
+    cout = w.shape[-1]
+    wt = pack_weights(w).astype(x.dtype)
+    b = (
+        jnp.zeros((cout, 1), jnp.float32)
+        if bias is None
+        else bias.reshape(cout, 1).astype(jnp.float32)
+    )
+    y = conv3d_lowc_ndcs(
+        to_ndcs(x), wt, b, W=W, interpret=interpret, dblk=dblk
+    )
+    return from_ndcs(y, H, W)
+
+
+def _flip_w(w):
+    """Weights of the input-gradient (transposed) conv: spatial flip +
+    channel swap."""
+    return jnp.flip(w, axis=(0, 1, 2)).transpose(0, 1, 2, 4, 3)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def conv_ndcs(x, w, bias, hw, interpret: bool = False, dblk: int = 0):
+    """Differentiable spatial-major conv: x (B, D, Cin, S) -> (B, D, Cout, S).
+
+    w: (3,3,3,Cin,Cout) float32 (the nn.Conv parameter layout), bias
+    (Cout,) float32, hw = (H, W) with H*W == S.  Forward and input-grad
+    run on the tap-packed Pallas kernel; the weight-grad transposes to
+    NDHWC once and uses XLA's kernel-gradient conv.
+    """
+    H, W = hw
+    cout = w.shape[-1]
+    return conv3d_lowc_ndcs(
+        x,
+        pack_weights(w).astype(x.dtype),
+        bias.reshape(cout, 1).astype(jnp.float32),
+        W=W,
+        interpret=interpret,
+        dblk=dblk,
+    )
+
+
+def _conv_ndcs_fwd(x, w, bias, hw, interpret, dblk):
+    return conv_ndcs(x, w, bias, hw, interpret, dblk), (x, w)
+
+
+def _conv_ndcs_bwd(hw, interpret, dblk, res, g):
+    x, w = res
+    H, W = hw
+    wf = _flip_w(w)
+    cin = w.shape[-2]
+    dx = conv3d_lowc_ndcs(
+        g,
+        pack_weights(wf).astype(g.dtype),
+        jnp.zeros((cin, 1), jnp.float32),
+        W=W,
+        interpret=interpret,
+        dblk=dblk,
+    )
+
+    xh = from_ndcs(x, H, W)
+    gh = from_ndcs(g, H, W).astype(jnp.float32)
+
+    def xla_conv(weights):
+        return jax.lax.conv_general_dilated(
+            xh, weights.astype(xh.dtype), (1, 1, 1), "SAME",
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+            preferred_element_type=jnp.float32,
+        )
+
+    _, w_vjp = jax.vjp(xla_conv, w)
+    (dw,) = w_vjp(gh)
+    db = jnp.sum(g.astype(jnp.float32), axis=(0, 1, 3))
+    return dx.astype(x.dtype), dw, db
+
+
+conv_ndcs.defvjp(_conv_ndcs_fwd, _conv_ndcs_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def conv3d_lowc_vjp(x, w, bias, interpret: bool = False):
+    """conv3d_lowc with gradients: dx via the same Pallas kernel on
+    flipped weights; dw/db via XLA (kernel-gradient conv is a large-M
+    contraction XLA already tiles well)."""
+    return conv3d_lowc(x, w, bias, interpret=interpret)
+
+
+def _fwd(x, w, bias, interpret):
+    return conv3d_lowc(x, w, bias, interpret=interpret), (x, w)
+
+
+def _bwd(interpret, res, g):
+    x, w = res
+    dx = conv3d_lowc(g, _flip_w(w), None, interpret=interpret)
+
+    def xla_conv(weights):
+        return jax.lax.conv_general_dilated(
+            x, weights.astype(x.dtype), (1, 1, 1), "SAME",
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+            preferred_element_type=jnp.float32,
+        )
+
+    _, w_vjp = jax.vjp(xla_conv, w)
+    (dw,) = w_vjp(g.astype(jnp.float32))
+    db = jnp.sum(g, axis=(0, 1, 2, 3)).astype(jnp.float32)
+    return dx.astype(x.dtype), dw, db
+
+
+conv3d_lowc_vjp.defvjp(_fwd, _bwd)

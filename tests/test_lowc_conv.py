@@ -1,0 +1,176 @@
+"""Tap-packed low-channel Conv3D kernel (ops/lowc_conv.py).
+
+Correctness runs through the Pallas interpreter on CPU against
+lax.conv_general_dilated; shapes stay small (d=8/16) per the suite's CPU
+budget.  The spatial-major VAE layout (VAEConfig.layout="ndcs") is
+checked for parameter-tree identity and bit-exact fallback equivalence
+against the NDHWC model.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from icsg3d_tpu.config import GridSpec, VAEConfig
+from icsg3d_tpu.models.vae import ConditionalDFCVAE
+from icsg3d_tpu.ops.lowc_conv import (
+    conv3d_lowc,
+    conv3d_lowc_vjp,
+    conv_ndcs,
+    from_ndcs,
+    pack_weights,
+    to_ndcs,
+)
+
+
+def _xla_conv(x, w, b=None):
+    out = jax.lax.conv_general_dilated(
+        x.astype(jnp.float32), w, (1, 1, 1), "SAME",
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+    )
+    if b is not None:
+        out = out + b.reshape(1, 1, 1, 1, -1)
+    return out
+
+
+class TestLowCConvKernel:
+    @pytest.mark.parametrize(
+        "shape",
+        [(2, 8, 8, 8, 5, 7), (1, 4, 8, 8, 1, 4), (2, 16, 8, 8, 14, 16)],
+    )
+    def test_forward_matches_xla(self, shape):
+        B, D, H, W, C, Co = shape
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.standard_normal((B, D, H, W, C)), jnp.float32)
+        w = jnp.asarray(
+            rng.standard_normal((3, 3, 3, C, Co)) * 0.1, jnp.float32
+        )
+        b = jnp.asarray(rng.standard_normal(Co), jnp.float32)
+        y = conv3d_lowc(x, w, b, interpret=True)
+        np.testing.assert_allclose(
+            np.asarray(y), np.asarray(_xla_conv(x, w, b)), atol=1e-4
+        )
+
+    def test_ndcs_roundtrip(self):
+        rng = np.random.default_rng(1)
+        x = jnp.asarray(rng.standard_normal((2, 4, 8, 8, 5)), jnp.float32)
+        np.testing.assert_array_equal(
+            np.asarray(from_ndcs(to_ndcs(x), 8, 8)), np.asarray(x)
+        )
+
+    def test_pack_weights_shape(self):
+        w = jnp.zeros((3, 3, 3, 6, 10))
+        assert pack_weights(w).shape == (90, 18)
+
+    def test_vjp_matches_xla_autodiff(self):
+        rng = np.random.default_rng(2)
+        x = jnp.asarray(rng.standard_normal((1, 4, 8, 8, 5)), jnp.float32)
+        w = jnp.asarray(
+            rng.standard_normal((3, 3, 3, 5, 6)) * 0.1, jnp.float32
+        )
+        b = jnp.asarray(rng.standard_normal(6), jnp.float32)
+
+        g_pal = jax.grad(
+            lambda *a: jnp.sum(jnp.sin(conv3d_lowc_vjp(*a, True))),
+            argnums=(0, 1, 2),
+        )(x, w, b)
+        g_xla = jax.grad(
+            lambda *a: jnp.sum(jnp.sin(_xla_conv(*a))), argnums=(0, 1, 2)
+        )(x, w, b)
+        for name, a, c in zip(("dx", "dw", "db"), g_pal, g_xla):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(c), atol=1e-3, err_msg=name
+            )
+
+    def test_conv_ndcs_vjp(self):
+        rng = np.random.default_rng(3)
+        x = jnp.asarray(rng.standard_normal((1, 4, 8, 8, 3)), jnp.float32)
+        w = jnp.asarray(
+            rng.standard_normal((3, 3, 3, 3, 5)) * 0.1, jnp.float32
+        )
+        b = jnp.asarray(rng.standard_normal(5), jnp.float32)
+
+        def f_ndcs(x, w, b):
+            y = conv_ndcs(to_ndcs(x), w, b, (8, 8), True)
+            return jnp.sum(jnp.cos(from_ndcs(y, 8, 8)))
+
+        def f_xla(x, w, b):
+            return jnp.sum(jnp.cos(_xla_conv(x, w, b)))
+
+        np.testing.assert_allclose(
+            float(f_ndcs(x, w, b)), float(f_xla(x, w, b)), atol=1e-4
+        )
+        g1 = jax.grad(f_ndcs, argnums=(0, 1, 2))(x, w, b)
+        g2 = jax.grad(f_xla, argnums=(0, 1, 2))(x, w, b)
+        for name, a, c in zip(("dx", "dw", "db"), g1, g2):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(c), atol=1e-3, err_msg=name
+            )
+
+
+class TestNdcsVAELayout:
+    """layout="ndcs" must be a drop-in: same parameter tree, same outputs
+    (the CPU fallback path is the same XLA conv, so exact equality)."""
+
+    def _models(self, d):
+        grid = GridSpec(d=d)
+        return (
+            ConditionalDFCVAE(VAEConfig(grid=grid, dtype="float32")),
+            ConditionalDFCVAE(
+                VAEConfig(grid=grid, dtype="float32", layout="ndcs")
+            ),
+        )
+
+    def test_param_tree_identical(self):
+        m_h, m_s = self._models(16)
+        x = jnp.zeros((1, 16, 16, 16, 4))
+        cond = jnp.zeros((1, 10))
+        k = jax.random.key(0)
+        v_h = m_h.init(jax.random.key(1), x, cond, k, train=False)
+        v_s = m_s.init(jax.random.key(1), x, cond, k, train=False)
+        assert jax.tree_util.tree_structure(v_h) == (
+            jax.tree_util.tree_structure(v_s)
+        )
+        assert jax.tree_util.tree_all(
+            jax.tree_util.tree_map(
+                lambda a, b: a.shape == b.shape, v_h, v_s
+            )
+        )
+
+    def test_outputs_identical_with_shared_params(self):
+        m_h, m_s = self._models(16)
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.random((2, 16, 16, 16, 4)), jnp.float32)
+        cond = jnp.asarray(
+            np.eye(10, dtype=np.float32)[rng.integers(0, 10, 2)]
+        )
+        k = jax.random.key(0)
+        v = m_h.init(jax.random.key(1), x, cond, k, train=False)
+        out_h = m_h.apply(v, x, cond, k, train=False)
+        out_s = m_s.apply(v, x, cond, k, train=False)
+        for a, b in zip(out_h, out_s):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_train_mode_batch_stats(self):
+        m_h, m_s = self._models(16)
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.random((2, 16, 16, 16, 4)), jnp.float32)
+        cond = jnp.asarray(np.eye(10, dtype=np.float32)[[0, 3]])
+        k = jax.random.key(0)
+        v = m_h.init(jax.random.key(1), x, cond, k, train=False)
+        _, st_h = m_h.apply(
+            v, x, cond, k, train=True, mutable=["batch_stats"]
+        )
+        _, st_s = m_s.apply(
+            v, x, cond, k, train=True, mutable=["batch_stats"]
+        )
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=1e-5
+            ),
+            st_h,
+            st_s,
+        )

@@ -1,0 +1,174 @@
+"""Per-shape timing of the VAE's low-channel 3D convs: XLA vs Pallas.
+
+The 64^3 profile decomposition (output/ns10k/profile64.json) shows the
+VAE's own forward running at 8.3% MFU while the frozen perceptual U-Net
+piece runs at 48% — the gap is the VAE's small channel counts (4..128)
+underfilling the MXU's 128-wide lanes.  This tool times every conv shape
+in the VAE encoder/decoder (at 32^3 and 64^3 geometry) individually so
+the optimization target list is measured, not guessed.
+
+    python tools/lowc_shapes_bench.py --bs 48 --d 64
+    python tools/lowc_shapes_bench.py --pallas   # include the lowc kernel
+
+Writes output/ns10k/lowc_shapes.json.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_comp_cache")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update(
+    "jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"]
+)
+
+PEAK = 197e12
+
+
+def vae_conv_shapes(d: int, cond_ch: int = 10):
+    """(name, spatial, cin, cout) for every conv in the VAE fwd at grid d."""
+    filters = (16, 32, 64, 128)
+    shapes = []
+    s = d
+    cin = 4 + cond_ch
+    for i, f in enumerate(filters):
+        shapes.append((f"enc{i}", s, cin, f))
+        cin = f
+        s //= 2
+    shapes.append(("enc_head", s, 128, 4))
+    start = d // 2 ** (len(filters) - 1)
+    c0 = max(256 // start**3, 1)
+    s = start
+    cin = c0
+    for i, f in enumerate(reversed(filters)):
+        shapes.append((f"dec{i}", s, cin, f))
+        cin = f
+        if i < len(filters) - 1:
+            s *= 2
+    shapes.append(("dec_out", s, filters[0], 4))
+    return shapes
+
+
+def chain_time(fn, x, *rest, n=20, warmup=1):
+    """Time fn via an in-jit fori_loop chain: n dependent executions inside
+    ONE dispatch, so the tunnel's multi-ms per-call overhead amortizes away
+    (independent dispatches also measure bogusly fast — see CLAUDE.md)."""
+
+    @jax.jit
+    def loop(x):
+        def body(_, x):
+            out = fn(x, *rest)
+            return x * (1 + 1e-30 * jnp.sum(out[..., :1]).astype(x.dtype))
+        return jax.lax.fori_loop(0, n, body, x)
+
+    y = loop(x)
+    jax.device_get(y.ravel()[0])
+    for _ in range(warmup):
+        y = loop(y)
+    jax.device_get(y.ravel()[0])
+    t0 = time.perf_counter()
+    y = loop(y)
+    jax.device_get(y.ravel()[0])
+    return (time.perf_counter() - t0 - 0.004) / n  # ~4ms dispatch floor
+
+
+def xla_conv(x, w):
+    return jax.lax.conv_general_dilated(
+        x, w.astype(x.dtype), (1, 1, 1), "SAME",
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+        preferred_element_type=jnp.float32,
+    ).astype(x.dtype)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--bs", type=int, default=48)
+    ap.add_argument("--d", type=int, default=64)
+    ap.add_argument("--pallas", action="store_true")
+    ap.add_argument("--raw", action="store_true",
+                    help="also time the ndcs-layout kernel w/o transposes")
+    ap.add_argument("--only", type=str, default=None)
+    ap.add_argument("--out", default="output/ns10k/lowc_shapes.json")
+    args = ap.parse_args()
+
+    rng = np.random.default_rng(0)
+    rows = []
+    for name, s, cin, cout in vae_conv_shapes(args.d):
+        if args.only and args.only not in name:
+            continue
+        x = jnp.asarray(
+            rng.standard_normal((args.bs, s, s, s, cin)), jnp.bfloat16
+        )
+        w = jnp.asarray(
+            rng.standard_normal((3, 3, 3, cin, cout)) * 0.05, jnp.float32
+        )
+        gf = 2 * args.bs * s**3 * 27 * cin * cout / 1e9
+        row = {"name": name, "s": s, "cin": cin, "cout": cout,
+               "gflops": round(gf, 2)}
+        try:
+            dt = chain_time(xla_conv, x, w)
+            row["xla_ms"] = round(dt * 1e3, 3)
+            row["xla_pct_peak"] = round(100 * gf / 1e3 / dt / (PEAK / 1e12), 1)
+        except Exception as e:  # noqa: BLE001
+            row["xla_error"] = str(e)[:200]
+        if args.pallas:
+            try:
+                from icsg3d_tpu.ops.lowc_conv import conv3d_lowc
+
+                fn = conv3d_lowc
+                y_ref = jax.jit(xla_conv)(x, w)
+                y = jax.jit(fn)(x, w)
+                err = float(
+                    jnp.max(jnp.abs(y.astype(jnp.float32)
+                                    - y_ref.astype(jnp.float32)))
+                )
+                dt = chain_time(fn, x, w)
+                row["pallas_ms"] = round(dt * 1e3, 3)
+                row["pallas_pct_peak"] = round(
+                    100 * gf / 1e3 / dt / (PEAK / 1e12), 1
+                )
+                row["pallas_max_err"] = err
+                if "xla_ms" in row:
+                    row["pallas_speedup"] = round(row["xla_ms"] / row["pallas_ms"], 3)
+            except Exception as e:  # noqa: BLE001
+                row["pallas_error"] = str(e)[:300]
+        if args.raw:
+            try:
+                from icsg3d_tpu.ops.lowc_conv import (
+                    conv3d_lowc_ndcs, pack_weights,
+                )
+
+                xt = jnp.asarray(
+                    rng.standard_normal((args.bs, s, cin, s * s)),
+                    jnp.bfloat16,
+                )
+                wt = pack_weights(w).astype(jnp.bfloat16)
+                bz = jnp.zeros((cout, 1), jnp.float32)
+                fn = lambda a, ww: conv3d_lowc_ndcs(a, ww, bz, W=s)  # noqa: E731
+                jax.jit(fn)(xt, wt)
+                dt = chain_time(fn, xt, wt)
+                row["raw_ms"] = round(dt * 1e3, 3)
+                row["raw_pct_peak"] = round(
+                    100 * gf / 1e3 / dt / (PEAK / 1e12), 1
+                )
+            except Exception as e:  # noqa: BLE001
+                row["raw_error"] = str(e)[:200]
+        rows.append(row)
+        print(json.dumps(row))
+    os.makedirs(os.path.dirname(args.out), exist_ok=True)
+    with open(args.out, "w") as f:
+        json.dump(rows, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()
