@@ -191,6 +191,128 @@ def conv3d_lowc_ndcs(
     )(x, wt, bias)
 
 
+def _dw_kernel(x_hbm, g_ref, out_ref, vpad_ref, sems, *, dblk, D, W):
+    """Weight gradient: dWt[(dh,dw,co),(dd,ci)] accumulated over all
+    (batch, plane) programs.
+
+    Per output plane j the cotangent g[co, m] is scattered into the 9
+    tap-shifted lane windows of G9 (with the same w-edge masks the
+    forward applies), and one MXU contraction over lanes gives the
+    plane's contribution:  dWt += G9 . X3^T.  The output block has a
+    constant index map, so it lives across the sequential TPU grid and
+    accumulates; the first program zeroes it.
+    """
+    b = pl.program_id(0)
+    t = pl.program_id(1)
+    d0 = t * dblk
+    Cout = g_ref.shape[2]
+    S = g_ref.shape[3]
+    C = vpad_ref.shape[1]
+    SP = S + 2 * _APRON
+
+    vpad_ref[:] = jnp.zeros_like(vpad_ref)
+    for k in range(dblk + 2):
+        @pl.when((d0 - 1 + k >= 0) & (d0 - 1 + k < D))
+        def _(k=k):
+            pltpu.make_async_copy(
+                x_hbm.at[b, pl.ds(d0 - 1 + k, 1)],
+                vpad_ref.at[pl.ds(k, 1), :, pl.ds(_APRON, S)],
+                sems.at[k],
+            ).start()
+    for k in range(dblk + 2):
+        @pl.when((d0 - 1 + k >= 0) & (d0 - 1 + k < D))
+        def _(k=k):
+            pltpu.make_async_copy(
+                x_hbm.at[b, pl.ds(d0 - 1 + k, 1)],
+                vpad_ref.at[pl.ds(k, 1), :, pl.ds(_APRON, S)],
+                sems.at[k],
+            ).wait()
+
+    @pl.when((b == 0) & (t == 0))
+    def _():
+        out_ref[:] = jnp.zeros(out_ref.shape, out_ref.dtype)
+
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, S), 1) % W
+    first_col = col == 0
+    last_col = col == W - 1
+
+    acc = jnp.zeros(out_ref.shape, jnp.float32)
+    for j in range(dblk):
+        x3 = jnp.concatenate(
+            [vpad_ref[j + dd] for dd in range(3)], axis=0
+        )
+        g = g_ref[0, j]
+        g9 = jnp.zeros((9 * Cout, SP), g.dtype)
+        for dh in range(3):
+            for dw in range(3):
+                tap = dh * 3 + dw
+                off = _APRON + (dh - 1) * W + (dw - 1)
+                gm = g
+                if dw == 0:
+                    gm = jnp.where(first_col, jnp.zeros_like(g), g)
+                elif dw == 2:
+                    gm = jnp.where(last_col, jnp.zeros_like(g), g)
+                g9 = jax.lax.dynamic_update_slice(
+                    g9, gm, (tap * Cout, off)
+                )
+        acc = acc + jax.lax.dot_general(
+            g9, x3, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    out_ref[:] += acc
+
+
+@functools.partial(
+    jax.jit, static_argnames=("W", "interpret", "dblk")
+)
+def conv3d_lowc_ndcs_dw(x, g, W: int, interpret: bool = False, dblk: int = 0):
+    """Weight gradient of the spatial-major conv.
+
+    x: (B, D, Cin, S) input; g: (B, D, Cout, S) cotangent.  Returns the
+    tap-packed gradient (9*Cout, 3*Cin) float32 (see pack_weights).
+    """
+    B, D, C, S = x.shape
+    cout = g.shape[2]
+    dblk = dblk or _pick_dblk(D)
+    if not interpret and S % 128:
+        raise ValueError(f"S={S} must be a multiple of 128")
+
+    return pl.pallas_call(
+        functools.partial(_dw_kernel, dblk=dblk, D=D, W=W),
+        grid=(B, D // dblk),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(
+                (1, dblk, cout, S), lambda b, t: (b, t, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (9 * cout, 3 * C), lambda b, t: (0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((9 * cout, 3 * C), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((dblk + 2, C, S + 2 * _APRON), x.dtype),
+            pltpu.SemaphoreType.DMA((dblk + 2,)),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * D * 9 * cout * 3 * C * (S + 2 * _APRON),
+            bytes_accessed=int(
+                x.size * x.dtype.itemsize * (1 + 2 / dblk)
+                + g.size * g.dtype.itemsize
+            ),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(x, g)
+
+
+def unpack_weight_grad(dwt, cin: int, cout: int):
+    """(9*Cout, 3*Cin) tap-packed gradient -> (3,3,3,Cin,Cout)."""
+    return dwt.reshape(3, 3, cout, 3, cin).transpose(3, 0, 1, 4, 2)
+
+
 def to_ndcs(x):
     """(B, D, H, W, C) -> (B, D, C, H*W)."""
     B, D, H, W, C = x.shape
@@ -265,7 +387,7 @@ def _conv_ndcs_bwd(hw, interpret, dblk, res, g):
     x, w = res
     H, W = hw
     wf = _flip_w(w)
-    cin = w.shape[-2]
+    cin, cout = w.shape[-2], w.shape[-1]
     dx = conv3d_lowc_ndcs(
         g,
         pack_weights(wf).astype(g.dtype),
@@ -274,19 +396,10 @@ def _conv_ndcs_bwd(hw, interpret, dblk, res, g):
         interpret=interpret,
         dblk=dblk,
     )
-
-    xh = from_ndcs(x, H, W)
-    gh = from_ndcs(g, H, W).astype(jnp.float32)
-
-    def xla_conv(weights):
-        return jax.lax.conv_general_dilated(
-            xh, weights.astype(xh.dtype), (1, 1, 1), "SAME",
-            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
-            preferred_element_type=jnp.float32,
-        )
-
-    _, w_vjp = jax.vjp(xla_conv, w)
-    (dw,) = w_vjp(gh)
+    dwt = conv3d_lowc_ndcs_dw(
+        x, g.astype(x.dtype), W=W, interpret=interpret, dblk=dblk
+    )
+    dw = unpack_weight_grad(dwt, cin, cout)
     db = jnp.sum(g.astype(jnp.float32), axis=(0, 1, 3))
     return dx.astype(x.dtype), dw, db
 

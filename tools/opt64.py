@@ -67,6 +67,8 @@ def main(argv=None):
     p.add_argument("--bs", type=int, default=None,
                    help="single batch size instead of the sweep")
     p.add_argument("--remat", action="store_true")
+    p.add_argument("--layout", default="ndhwc", choices=("ndhwc", "ndcs"),
+                   help="VAE conv layout: ndcs = spatial-major Pallas path")
     p.add_argument("--trace", default=None, help="profiler trace dir")
     p.add_argument("--components", action="store_true",
                    help="also time VAE-only and perceptual-only pieces")
@@ -75,7 +77,7 @@ def main(argv=None):
 
     d = args.d
     grid = GridSpec(d=d)
-    vae_cfg = VAEConfig(grid=grid)
+    vae_cfg = VAEConfig(grid=grid, layout=args.layout)
     unet_cfg = UNetConfig()
     gen = os.environ.get("PALLAS_AXON_TPU_GEN", "v5e")
     peak = PEAK_FLOPS.get(gen, PEAK_FLOPS["v5e"])
@@ -114,7 +116,8 @@ def main(argv=None):
             flops = flops_of(step, state, batch, key)
             dt, state = time_step(step, state, batch, key)
             row = {
-                "bs": bs, "remat": remat, "ms_per_step": round(dt * 1e3, 2),
+                "bs": bs, "remat": remat, "layout": args.layout,
+                "ms_per_step": round(dt * 1e3, 2),
                 "grids_per_sec": round(bs / dt / n_chips, 1),
                 "mfu": round(flops / dt / (peak * n_chips), 4) if flops else None,
                 "flops_per_step": flops,
