@@ -89,6 +89,10 @@ class UNetConfig:
     bn_momentum: float = 0.99   # Keras BatchNormalization default
     bn_epsilon: float = 1e-3    # Keras BatchNormalization default
     dtype: str = "bfloat16"     # compute dtype; params stay float32
+    # "ndcs" runs large-plane conv blocks in the spatial-major
+    # (B, D, C, H*W) layout on the tap-packed Pallas conv (see
+    # VAEConfig.layout); parameter trees are layout-independent.
+    layout: str = "ndhwc"
 
 
 @dataclasses.dataclass(frozen=True)

@@ -31,7 +31,14 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from icsg3d_tpu.config import UNetConfig
-from icsg3d_tpu.models.layers import max_pool_3d, upsample_3d
+from icsg3d_tpu.models.layers import (
+    SpatialMajorConv,
+    max_pool_3d,
+    max_pool_ndcs,
+    upsample_3d,
+    upsample_ndcs,
+)
+from icsg3d_tpu.ops.lowc_conv import from_ndcs, lowc_supported, to_ndcs
 
 
 class UNet3D(nn.Module):
@@ -63,20 +70,35 @@ class UNet3D(nn.Module):
 
         idx = 0
         skips = []
+        ndcs_layout = getattr(cfg, "layout", "ndhwc") == "ndcs"
+        s = x.shape[1]
+        in_ndcs = False
+        if ndcs_layout and lowc_supported(s, s):
+            x = to_ndcs(x)
+            in_ndcs = True
 
         # The perceptual taps need post-ReLU (pre-BN) tensors, so the
         # conv/relu/bn sequence is inlined here rather than using ConvBlock.
+        # In the spatial-major layout the sown taps are (B, D, C, S); both
+        # DFC forwards use the same layout, so the feature-MSE consumer is
+        # unaffected.
         def conv_relu_bn(h, features):
             nonlocal idx
             idx += 1
-            h = nn.Conv(
-                features,
-                (3, 3, 3),
-                padding="SAME",
-                dtype=jnp.dtype(cfg.dtype),
-                param_dtype=jnp.float32,
-                name=f"conv{idx}",
-            )(h)
+            if in_ndcs:
+                h = SpatialMajorConv(
+                    features, hw=(s, s), dtype=jnp.dtype(cfg.dtype),
+                    name=f"conv{idx}",
+                )(h)
+            else:
+                h = nn.Conv(
+                    features,
+                    (3, 3, 3),
+                    padding="SAME",
+                    dtype=jnp.dtype(cfg.dtype),
+                    param_dtype=jnp.float32,
+                    name=f"conv{idx}",
+                )(h)
             h = nn.relu(h)
             if sow_taps is None or idx in sow_taps:
                 self.sow("intermediates", f"relu{idx}", h)
@@ -86,6 +108,7 @@ class UNet3D(nn.Module):
                 epsilon=cfg.bn_epsilon,
                 dtype=jnp.dtype(cfg.dtype),
                 param_dtype=jnp.float32,
+                axis=2 if in_ndcs else -1,
                 name=f"bn{idx}",
             )(h)
             return h
@@ -100,8 +123,12 @@ class UNet3D(nn.Module):
             x = conv_relu_bn(x, f2)
             if done():
                 return None, None
-            skips.append(x)
-            x = max_pool_3d(x)
+            skips.append((x, in_ndcs, s))
+            if in_ndcs and not lowc_supported(s // 2, s // 2):
+                x = from_ndcs(x, s, s)
+                in_ndcs = False
+            x = max_pool_ndcs(x, (s, s)) if in_ndcs else max_pool_3d(x)
+            s //= 2
 
         # Bottleneck
         x = conv_relu_bn(x, cfg.bottom_filters[0])
@@ -112,15 +139,29 @@ class UNet3D(nn.Module):
             return None, None
 
         # Decoder
-        for (f1, f2), skip in zip(cfg.dec_filters, reversed(skips)):
-            x = upsample_3d(x)
-            x = jnp.concatenate([skip, x.astype(skip.dtype)], axis=-1)
+        for (f1, f2), (skip, skip_ndcs, skip_s) in zip(
+            cfg.dec_filters, reversed(skips)
+        ):
+            x = upsample_ndcs(x, (s, s)) if in_ndcs else upsample_3d(x)
+            s *= 2
+            if skip_ndcs and not in_ndcs:
+                x = to_ndcs(x)
+                in_ndcs = True
+            elif in_ndcs and not skip_ndcs:  # pragma: no cover (no config)
+                x = from_ndcs(x, s, s)
+                in_ndcs = False
+            x = jnp.concatenate(
+                [skip, x.astype(skip.dtype)], axis=2 if in_ndcs else -1
+            )
             x = conv_relu_bn(x, f1)
             if done():
                 return None, None
             x = conv_relu_bn(x, f2)
             if done():
                 return None, None
+
+        if in_ndcs:
+            x = from_ndcs(x, s, s)
 
         soft = nn.Conv(
             cfg.num_classes,

@@ -14,7 +14,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from icsg3d_tpu.config import GridSpec, VAEConfig
+from icsg3d_tpu.config import GridSpec, UNetConfig, VAEConfig
+from icsg3d_tpu.models.unet import UNet3D, unet_features
 from icsg3d_tpu.models.vae import ConditionalDFCVAE
 from icsg3d_tpu.ops.lowc_conv import (
     conv3d_lowc,
@@ -174,3 +175,46 @@ class TestNdcsVAELayout:
             st_h,
             st_s,
         )
+
+
+class TestNdcsUNetLayout:
+    """UNetConfig.layout="ndcs": same parameter tree, identical heads and
+    perceptual taps (CPU fallback path = same XLA conv)."""
+
+    def _models(self):
+        return (
+            UNet3D(UNetConfig(dtype="float32")),
+            UNet3D(UNetConfig(dtype="float32", layout="ndcs")),
+        )
+
+    def test_heads_identical_with_shared_params(self):
+        m_h, m_s = self._models()
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.random((2, 16, 16, 16, 4)), jnp.float32)
+        v = m_h.init(jax.random.key(0), x, train=False)
+        v_s = m_s.init(jax.random.key(0), x, train=False)
+        assert jax.tree_util.tree_structure(v) == (
+            jax.tree_util.tree_structure(v_s)
+        )
+        soft_h, sig_h = m_h.apply(v, x, train=False)
+        soft_s, sig_s = m_s.apply(v, x, train=False)
+        np.testing.assert_array_equal(np.asarray(soft_h), np.asarray(soft_s))
+        np.testing.assert_array_equal(np.asarray(sig_h), np.asarray(sig_s))
+
+    def test_perceptual_taps_match(self):
+        m_h, m_s = self._models()
+        rng = np.random.default_rng(1)
+        x = jnp.asarray(rng.random((2, 16, 16, 16, 4)), jnp.float32)
+        v = m_h.init(jax.random.key(0), x, train=False)
+        taps = (3, 5, 7, 9)
+        f_h = unet_features(m_h, v, x, taps)
+        f_s = unet_features(m_s, v, x, taps)
+        for a, b in zip(f_h, f_s):
+            if a.ndim == 5 and b.ndim == 4:  # ndcs-layout tap
+                B, D, H, W, C = a.shape
+                a = jnp.transpose(a, (0, 1, 4, 2, 3)).reshape(
+                    B, D, C, H * W
+                )
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=1e-5
+            )

@@ -7,7 +7,8 @@ Times, at a given batch size (chained iterations, axon async trap):
   full_step      the production DFC step (2 perceptual forwards + bwd)
 
 and reports each piece's XLA-counted FLOPs so MFU per piece is explicit.
-Writes output/ns10k/profile64.json.
+Writes output/ns10k/profile64.json.  Env knobs: PROFILE_BS, PROFILE_D,
+PROFILE_LAYOUT=ndhwc|ndcs (spatial-major Pallas conv path).
 """
 
 from __future__ import annotations
@@ -72,9 +73,10 @@ def flops_of(fn, *args):
 
 def main():
     bs = int(os.environ.get("PROFILE_BS", "48"))
-    d = 64
+    d = int(os.environ.get("PROFILE_D", "64"))
+    layout = os.environ.get("PROFILE_LAYOUT", "ndhwc")
     grid = GridSpec(d=d)
-    vae_cfg = VAEConfig(grid=grid)
+    vae_cfg = VAEConfig(grid=grid, layout=layout)
     unet_cfg = UNetConfig()
     tc = TrainConfig()
 
@@ -91,7 +93,7 @@ def main():
         "density": x[..., 0], "coords": x[..., 1:], "cond": cond,
     }
     key = jax.random.PRNGKey(1)
-    results = {"bs": bs, "d": d}
+    results = {"bs": bs, "d": d, "layout": layout}
 
     # 1. VAE forward
     def vae_fwd(x, cond, key):
