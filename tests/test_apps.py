@@ -11,6 +11,23 @@ import numpy as np
 import pytest
 
 from icsg3d_tpu.apps import common
+
+
+def _cpu_subprocess_env():
+    """Env for CLI subprocesses pinned to CPU.
+
+    JAX_PLATFORMS=cpu alone is not enough: the axon sitecustomize hook
+    registers the TPU PJRT plugin whenever PALLAS_AXON_POOL_IPS is set,
+    which dials the tunnel at import time — when the tunnel is down the
+    subprocess hangs before jax ever reads JAX_PLATFORMS.  Dropping the
+    pool var skips registration entirely, keeping these CPU-only smoke
+    tests independent of tunnel health.
+    """
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    return env
+
+
 from icsg3d_tpu.apps.generate import generate_structures, predict_properties
 from icsg3d_tpu.apps.evaluate import evaluate_reconstructions
 from icsg3d_tpu.apps.interpolate import interpolate_latents
@@ -284,7 +301,7 @@ class TestVoxelizeApp:
 
 class TestCLIs:
     def test_voxelize_cli_synthetic(self, tmp_path):
-        env = dict(os.environ, JAX_PLATFORMS="cpu")
+        env = _cpu_subprocess_env()
         out = subprocess.run(
             [
                 sys.executable, "-m", "icsg3d_tpu.apps.voxelize",
@@ -298,7 +315,7 @@ class TestCLIs:
         assert "wrote 6 samples" in out.stdout
 
     def test_query_cli_degrades_without_pymatgen(self):
-        env = dict(os.environ, JAX_PLATFORMS="cpu")
+        env = _cpu_subprocess_env()
         out = subprocess.run(
             [
                 sys.executable, "-m", "icsg3d_tpu.apps.query",
@@ -359,7 +376,7 @@ class TestCLIHelp:
         ],
     )
     def test_help_exits_zero(self, module):
-        env = dict(os.environ, JAX_PLATFORMS="cpu")
+        env = _cpu_subprocess_env()
         out = subprocess.run(
             [sys.executable, "-m", f"icsg3d_tpu.apps.{module}", "--help"],
             capture_output=True, text=True, env=env, cwd="/root/repo",
