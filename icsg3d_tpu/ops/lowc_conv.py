@@ -70,31 +70,46 @@ def pack_weights(w):
     return jnp.transpose(w, (1, 2, 4, 0, 3)).reshape(9 * cout, 3 * cin)
 
 
-def _kernel(x_hbm, wt_ref, b_ref, out_ref, vpad_ref, sems, *, dblk, D, W):
+def _plane_dma(x_hbm, vpad_ref, sems, *, b, d0, dblk, D, S, valid):
+    """DMA the dblk+2 input planes a program needs into the vpad scratch.
+
+    In ``same`` mode plane k maps to global plane d0-1+k with zero
+    (apron-initialised) planes outside [0, D); in ``valid`` mode the
+    input is already depth-padded, so plane k is d0+k, always in range.
+    The zero fill is unconditional: the 128-lane aprons flanking each
+    plane are never DMA'd and must read as zero in either mode.
+    """
+    vpad_ref[:] = jnp.zeros_like(vpad_ref)
+    for phase in ("start", "wait"):
+        for k in range(dblk + 2):
+            src = d0 + k if valid else d0 - 1 + k
+
+            def _go(k=k, src=src):
+                copy = pltpu.make_async_copy(
+                    x_hbm.at[b, pl.ds(src, 1)],
+                    vpad_ref.at[pl.ds(k, 1), :, pl.ds(_APRON, S)],
+                    sems.at[k],
+                )
+                copy.start() if phase == "start" else copy.wait()
+
+            if valid:
+                _go()
+            else:
+                pl.when((src >= 0) & (src < D))(_go)
+
+
+def _kernel(
+    x_hbm, wt_ref, b_ref, out_ref, vpad_ref, sems, *, dblk, D, W, valid
+):
     b = pl.program_id(0)
     t = pl.program_id(1)
     d0 = t * dblk
     Cout = out_ref.shape[2]
     S = out_ref.shape[3]
-    C = vpad_ref.shape[1]
 
-    vpad_ref[:] = jnp.zeros_like(vpad_ref)
-    for k in range(dblk + 2):
-        @pl.when((d0 - 1 + k >= 0) & (d0 - 1 + k < D))
-        def _(k=k):
-            pltpu.make_async_copy(
-                x_hbm.at[b, pl.ds(d0 - 1 + k, 1)],
-                vpad_ref.at[pl.ds(k, 1), :, pl.ds(_APRON, S)],
-                sems.at[k],
-            ).start()
-    for k in range(dblk + 2):
-        @pl.when((d0 - 1 + k >= 0) & (d0 - 1 + k < D))
-        def _(k=k):
-            pltpu.make_async_copy(
-                x_hbm.at[b, pl.ds(d0 - 1 + k, 1)],
-                vpad_ref.at[pl.ds(k, 1), :, pl.ds(_APRON, S)],
-                sems.at[k],
-            ).wait()
+    _plane_dma(
+        x_hbm, vpad_ref, sems, b=b, d0=d0, dblk=dblk, D=D, S=S, valid=valid
+    )
 
     # w-edge masks: a flat (h*W + w) lane shift by dw-1 wraps rows, so the
     # first (dw=0) / last (dw=2) column of each row must contribute zero.
@@ -133,22 +148,29 @@ def _pick_dblk(D: int) -> int:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("W", "interpret", "dblk", "out_dtype")
+    jax.jit,
+    static_argnames=("W", "interpret", "dblk", "out_dtype", "depth_valid"),
 )
 def conv3d_lowc_ndcs(
     x, wt, bias, W: int, interpret: bool = False, dblk: int = 0,
-    out_dtype=None,
+    out_dtype=None, depth_valid: bool = False,
 ):
     """Raw spatial-major conv: x (B, D, C, S=H*W), wt = pack_weights(w)
     (9Cout, 3Cin), bias (Cout, 1) f32.  Returns (B, D, Cout, S).
 
     Compiled mode requires S % 128 == 0 and W+1 <= 128 (apron coverage).
+
+    depth_valid=True treats x as already depth-padded (e.g. by a halo
+    exchange over a spatial mesh axis, parallel/halo.py): the depth
+    window becomes VALID, returning (B, D-2, Cout, S) with no zero
+    boundary — the per-shard piece of a depth-sharded SAME conv.
     """
     B, D, C, S = x.shape
     cout = wt.shape[0] // 9
-    dblk = dblk or _pick_dblk(D)
-    if D % dblk:
-        raise ValueError(f"dblk {dblk} must divide D {D}")
+    d_out = D - 2 if depth_valid else D
+    dblk = dblk or _pick_dblk(d_out)
+    if d_out % dblk:
+        raise ValueError(f"dblk {dblk} must divide output depth {d_out}")
     if not interpret:
         if S % 128:
             raise ValueError(
@@ -159,8 +181,8 @@ def conv3d_lowc_ndcs(
     out_dtype = out_dtype or x.dtype
 
     return pl.pallas_call(
-        functools.partial(_kernel, dblk=dblk, D=D, W=W),
-        grid=(B, D // dblk),
+        functools.partial(_kernel, dblk=dblk, D=D, W=W, valid=depth_valid),
+        grid=(B, d_out // dblk),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),  # x stays in HBM
             pl.BlockSpec(
@@ -174,16 +196,16 @@ def conv3d_lowc_ndcs(
             (1, dblk, cout, S), lambda b, t: (b, t, 0, 0),
             memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((B, D, cout, S), out_dtype),
+        out_shape=jax.ShapeDtypeStruct((B, d_out, cout, S), out_dtype),
         scratch_shapes=[
             pltpu.VMEM((dblk + 2, C, S + 2 * _APRON), x.dtype),
             pltpu.SemaphoreType.DMA((dblk + 2,)),
         ],
         cost_estimate=pl.CostEstimate(
-            flops=2 * B * D * 9 * cout * 3 * C * (S + 2 * _APRON),
+            flops=2 * B * d_out * 9 * cout * 3 * C * (S + 2 * _APRON),
             bytes_accessed=int(
                 x.size * x.dtype.itemsize * (1 + 2 / dblk)
-                + B * D * S * cout * 2
+                + B * d_out * S * cout * 2
             ),
             transcendentals=0,
         ),
@@ -191,7 +213,7 @@ def conv3d_lowc_ndcs(
     )(x, wt, bias)
 
 
-def _dw_kernel(x_hbm, g_ref, out_ref, vpad_ref, sems, *, dblk, D, W):
+def _dw_kernel(x_hbm, g_ref, out_ref, vpad_ref, sems, *, dblk, D, W, valid):
     """Weight gradient: dWt[(dh,dw,co),(dd,ci)] accumulated over all
     (batch, plane) programs.
 
@@ -207,26 +229,11 @@ def _dw_kernel(x_hbm, g_ref, out_ref, vpad_ref, sems, *, dblk, D, W):
     d0 = t * dblk
     Cout = g_ref.shape[2]
     S = g_ref.shape[3]
-    C = vpad_ref.shape[1]
     SP = S + 2 * _APRON
 
-    vpad_ref[:] = jnp.zeros_like(vpad_ref)
-    for k in range(dblk + 2):
-        @pl.when((d0 - 1 + k >= 0) & (d0 - 1 + k < D))
-        def _(k=k):
-            pltpu.make_async_copy(
-                x_hbm.at[b, pl.ds(d0 - 1 + k, 1)],
-                vpad_ref.at[pl.ds(k, 1), :, pl.ds(_APRON, S)],
-                sems.at[k],
-            ).start()
-    for k in range(dblk + 2):
-        @pl.when((d0 - 1 + k >= 0) & (d0 - 1 + k < D))
-        def _(k=k):
-            pltpu.make_async_copy(
-                x_hbm.at[b, pl.ds(d0 - 1 + k, 1)],
-                vpad_ref.at[pl.ds(k, 1), :, pl.ds(_APRON, S)],
-                sems.at[k],
-            ).wait()
+    _plane_dma(
+        x_hbm, vpad_ref, sems, b=b, d0=d0, dblk=dblk, D=D, S=S, valid=valid
+    )
 
     @pl.when((b == 0) & (t == 0))
     def _():
@@ -263,23 +270,31 @@ def _dw_kernel(x_hbm, g_ref, out_ref, vpad_ref, sems, *, dblk, D, W):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("W", "interpret", "dblk")
+    jax.jit, static_argnames=("W", "interpret", "dblk", "depth_valid")
 )
-def conv3d_lowc_ndcs_dw(x, g, W: int, interpret: bool = False, dblk: int = 0):
+def conv3d_lowc_ndcs_dw(
+    x, g, W: int, interpret: bool = False, dblk: int = 0,
+    depth_valid: bool = False,
+):
     """Weight gradient of the spatial-major conv.
 
-    x: (B, D, Cin, S) input; g: (B, D, Cout, S) cotangent.  Returns the
-    tap-packed gradient (9*Cout, 3*Cin) float32 (see pack_weights).
+    x: (B, D, Cin, S) input; g: (B, D_out, Cout, S) cotangent.  Returns
+    the tap-packed gradient (9*Cout, 3*Cin) float32 (see pack_weights).
+    With depth_valid=True, x is depth-padded (D = D_out + 2) and the
+    depth window is VALID — the per-shard dw of a halo-exchanged conv.
     """
     B, D, C, S = x.shape
     cout = g.shape[2]
-    dblk = dblk or _pick_dblk(D)
+    d_out = D - 2 if depth_valid else D
+    if g.shape[1] != d_out:
+        raise ValueError(f"cotangent depth {g.shape[1]} != {d_out}")
+    dblk = dblk or _pick_dblk(d_out)
     if not interpret and S % 128:
         raise ValueError(f"S={S} must be a multiple of 128")
 
     return pl.pallas_call(
-        functools.partial(_dw_kernel, dblk=dblk, D=D, W=W),
-        grid=(B, D // dblk),
+        functools.partial(_dw_kernel, dblk=dblk, D=D, W=W, valid=depth_valid),
+        grid=(B, d_out // dblk),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec(
@@ -297,7 +312,7 @@ def conv3d_lowc_ndcs_dw(x, g, W: int, interpret: bool = False, dblk: int = 0):
             pltpu.SemaphoreType.DMA((dblk + 2,)),
         ],
         cost_estimate=pl.CostEstimate(
-            flops=2 * B * D * 9 * cout * 3 * C * (S + 2 * _APRON),
+            flops=2 * B * d_out * 9 * cout * 3 * C * (S + 2 * _APRON),
             bytes_accessed=int(
                 x.size * x.dtype.itemsize * (1 + 2 / dblk)
                 + g.size * g.dtype.itemsize
@@ -405,6 +420,66 @@ def _conv_ndcs_bwd(hw, interpret, dblk, res, g):
 
 
 conv_ndcs.defvjp(_conv_ndcs_fwd, _conv_ndcs_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def conv_ndcs_valid(xp, w, bias, hw, interpret: bool = False, dblk: int = 0):
+    """Differentiable depth-VALID spatial-major conv.
+
+    xp: (B, Dl+2, Cin, S) — a depth slab already padded with its two halo
+    planes (neighbor planes from a halo exchange, or zeros at the global
+    boundary).  Returns (B, Dl, Cout, S): exactly the shard's slice of
+    the global SAME conv.  w (3,3,3,Cin,Cout) / bias (Cout,) float32 as
+    in nn.Conv.  This is the per-shard building block of
+    parallel.halo.conv_ndcs_sharded.
+    """
+    H, W = hw
+    cout = w.shape[-1]
+    return conv3d_lowc_ndcs(
+        xp,
+        pack_weights(w).astype(xp.dtype),
+        bias.reshape(cout, 1).astype(jnp.float32),
+        W=W,
+        interpret=interpret,
+        dblk=dblk,
+        depth_valid=True,
+    )
+
+
+def _conv_ndcs_valid_fwd(xp, w, bias, hw, interpret, dblk):
+    return conv_ndcs_valid(xp, w, bias, hw, interpret, dblk), (xp, w)
+
+
+def _conv_ndcs_valid_bwd(hw, interpret, dblk, res, g):
+    xp, w = res
+    H, W = hw
+    cin, cout = w.shape[-2], w.shape[-1]
+    # dxp: zero-pad the cotangent by 2 planes each side, then the same
+    # depth-valid kernel with flipped/channel-swapped weights emits all
+    # Dl+2 input-plane gradients (halo-plane cotangents included — the
+    # surrounding halo exchange transposes them back to the neighbors).
+    B, Do, _, S = g.shape
+    zeros = jnp.zeros((B, 2, cout, S), g.dtype)
+    gp = jnp.concatenate([zeros, g, zeros], axis=1)
+    dxp = conv3d_lowc_ndcs(
+        gp,
+        pack_weights(_flip_w(w)).astype(g.dtype),
+        jnp.zeros((cin, 1), jnp.float32),
+        W=W,
+        interpret=interpret,
+        dblk=dblk,
+        depth_valid=True,
+    )
+    dwt = conv3d_lowc_ndcs_dw(
+        xp, g.astype(xp.dtype), W=W, interpret=interpret, dblk=dblk,
+        depth_valid=True,
+    )
+    dw = unpack_weight_grad(dwt, cin, cout)
+    db = jnp.sum(g.astype(jnp.float32), axis=(0, 1, 3))
+    return dxp.astype(xp.dtype), dw, db
+
+
+conv_ndcs_valid.defvjp(_conv_ndcs_valid_fwd, _conv_ndcs_valid_bwd)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))

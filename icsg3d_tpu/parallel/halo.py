@@ -55,6 +55,42 @@ def _conv3d_same(x, kernel):
     )
 
 
+def conv_ndcs_sharded(x, w, bias, hw, mesh: Mesh, interpret: bool = False):
+    """Depth-sharded SAME conv on spatial-major (B, D, C, S) activations.
+
+    The multi-chip form of the tap-packed Pallas conv (ops/lowc_conv.py):
+    B shards over ``data``, D over ``spatial``.  Each shard halo-exchanges
+    one depth plane with its ring neighbors (``ppermute`` over ICI, zeros
+    at the global boundary) and runs the depth-VALID kernel on its padded
+    slab — together exactly the global SAME conv.  Fully differentiable:
+    JAX transposes the ppermutes (halo cotangents flow back to the
+    neighbor shards) and shard_map psums the replicated w/bias
+    cotangents across the mesh.
+
+    w: (3,3,3,Cin,Cout) float32, bias: (Cout,) float32, hw = (H, W).
+    """
+    from jax import shard_map
+
+    from icsg3d_tpu.ops.lowc_conv import conv_ndcs_valid
+
+    def shard_fn(xs, ws, bs):
+        xp = halo_exchange(xs, mesh_lib.SPATIAL_AXIS, halo=1, axis=1)
+        return conv_ndcs_valid(xp, ws, bs, hw, interpret)
+
+    fn = shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(
+            P(mesh_lib.DATA_AXIS, mesh_lib.SPATIAL_AXIS),
+            P(),
+            P(),
+        ),
+        out_specs=P(mesh_lib.DATA_AXIS, mesh_lib.SPATIAL_AXIS),
+        check_vma=False,  # pallas_call has no replication rule
+    )
+    return fn(x, w, bias)
+
+
 def spatial_shard_conv3d(x, kernel, mesh: Mesh):
     """A 3^3 SAME conv with the depth axis sharded over the spatial mesh axis.
 

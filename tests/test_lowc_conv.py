@@ -21,6 +21,7 @@ from icsg3d_tpu.ops.lowc_conv import (
     conv3d_lowc,
     conv3d_lowc_vjp,
     conv_ndcs,
+    conv_ndcs_valid,
     from_ndcs,
     pack_weights,
     to_ndcs,
@@ -217,4 +218,97 @@ class TestNdcsUNetLayout:
                 )
             np.testing.assert_allclose(
                 np.asarray(a), np.asarray(b), atol=1e-5
+            )
+
+
+class TestDepthValid:
+    """conv_ndcs_valid: the depth-VALID kernel mode used by the
+    halo-exchanged multi-chip path (parallel/halo.py)."""
+
+    def _data(self):
+        rng = np.random.default_rng(3)
+        B, D, H, W, Cin, Cout = 2, 8, 8, 16, 5, 7
+        x = jnp.asarray(rng.normal(size=(B, D, Cin, H * W)), jnp.float32)
+        w = jnp.asarray(
+            rng.normal(size=(3, 3, 3, Cin, Cout)), jnp.float32
+        ) * 0.2
+        b = jnp.asarray(rng.normal(size=(Cout,)), jnp.float32)
+        return x, w, b, (H, W)
+
+    @staticmethod
+    def _pad(x):
+        B, _, C, S = x.shape
+        z = jnp.zeros((B, 1, C, S), x.dtype)
+        return jnp.concatenate([z, x, z], axis=1)
+
+    def test_valid_on_padded_equals_same(self):
+        x, w, b, hw = self._data()
+        y_same = conv_ndcs(x, w, b, hw, True)
+        y_valid = conv_ndcs_valid(self._pad(x), w, b, hw, True)
+        np.testing.assert_allclose(
+            np.asarray(y_valid), np.asarray(y_same), atol=1e-4
+        )
+
+    def test_grads_match_same_oracle(self):
+        x, w, b, hw = self._data()
+
+        def loss_valid(x, w, b):
+            return jnp.sum(
+                jnp.sin(conv_ndcs_valid(self._pad(x), w, b, hw, True))
+            )
+
+        def loss_same(x, w, b):
+            return jnp.sum(jnp.sin(conv_ndcs(x, w, b, hw, True)))
+
+        g_v = jax.grad(loss_valid, (0, 1, 2))(x, w, b)
+        g_s = jax.grad(loss_same, (0, 1, 2))(x, w, b)
+        for a, c in zip(g_v, g_s):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(c), atol=2e-3, rtol=1e-4
+            )
+
+
+class TestShardedNdcsConv:
+    """conv_ndcs_sharded: depth shards + halo exchange over the spatial
+    mesh axis reproduce the unsharded conv, values AND gradients (the
+    multi-chip form of the Pallas conv; mirrors test_spatial.py's GSPMD
+    oracle pattern)."""
+
+    def _setup(self):
+        from icsg3d_tpu.parallel.halo import conv_ndcs_sharded
+        from icsg3d_tpu.parallel.mesh import make_mesh
+
+        rng = np.random.default_rng(4)
+        B, D, H, W, Cin, Cout = 4, 16, 8, 16, 4, 6
+        x = jnp.asarray(rng.normal(size=(B, D, Cin, H * W)), jnp.float32)
+        w = jnp.asarray(
+            rng.normal(size=(3, 3, 3, Cin, Cout)), jnp.float32
+        ) * 0.2
+        b = jnp.asarray(rng.normal(size=(Cout,)), jnp.float32)
+        return conv_ndcs_sharded, make_mesh(4, 2), x, w, b, (H, W)
+
+    def test_forward_matches_unsharded(self):
+        sharded, mesh, x, w, b, hw = self._setup()
+        y = sharded(x, w, b, hw, mesh, interpret=True)
+        y_ref = conv_ndcs(x, w, b, hw, True)
+        np.testing.assert_allclose(
+            np.asarray(y), np.asarray(y_ref), atol=1e-4
+        )
+
+    def test_grads_match_unsharded(self):
+        sharded, mesh, x, w, b, hw = self._setup()
+
+        def loss_sh(x, w, b):
+            return jnp.sum(
+                jnp.sin(sharded(x, w, b, hw, mesh, interpret=True))
+            )
+
+        def loss_ref(x, w, b):
+            return jnp.sum(jnp.sin(conv_ndcs(x, w, b, hw, True)))
+
+        g_sh = jax.grad(loss_sh, (0, 1, 2))(x, w, b)
+        g_rf = jax.grad(loss_ref, (0, 1, 2))(x, w, b)
+        for a, c in zip(g_sh, g_rf):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(c), atol=2e-3, rtol=1e-4
             )
