@@ -99,6 +99,11 @@ class SpatialMajorConv(nn.Module):
     hw: Tuple[int, int]
     dtype: Dtype = jnp.bfloat16
     use_pallas: bool | None = None  # None = auto (TPU + supported shape)
+    # A (data, spatial) jax.sharding.Mesh: run the conv under shard_map
+    # with B sharded over ``data`` and D halo-exchanged over ``spatial``
+    # (parallel/halo.py) — the explicit multi-chip form of the kernel.
+    # None (default) leaves sharding to the surrounding GSPMD program.
+    spatial_mesh: Any = None
 
     @nn.compact
     def __call__(self, x):
@@ -121,6 +126,23 @@ class SpatialMajorConv(nn.Module):
             jnp.float32,
         )
         x = x.astype(self.dtype)
+        if self.spatial_mesh is not None:
+            from icsg3d_tpu.parallel.halo import conv_ndcs_sharded
+            from icsg3d_tpu.parallel.mesh import DATA_AXIS, SPATIAL_AXIS
+
+            mesh = self.spatial_mesh
+            # shard_map needs whole shards; incompatible static shapes
+            # (the batch-1 init trace, remainder eval batches) take the
+            # single-program kernel instead.
+            divisible = (
+                x.shape[0] % mesh.shape[DATA_AXIS] == 0
+                and x.shape[1] % mesh.shape[SPATIAL_AXIS] == 0
+            )
+            if divisible:
+                return conv_ndcs_sharded(
+                    x, kernel, bias, (H, W), mesh,
+                    interpret=jax.default_backend() != "tpu",
+                )
         use = self.use_pallas
         if use is None:
             use = jax.default_backend() == "tpu" and lowc_supported(H, W)

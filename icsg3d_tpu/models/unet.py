@@ -43,6 +43,9 @@ from icsg3d_tpu.ops.lowc_conv import from_ndcs, lowc_supported, to_ndcs
 
 class UNet3D(nn.Module):
     cfg: UNetConfig = UNetConfig()
+    # optional (data, spatial) Mesh for the explicit multi-chip Pallas
+    # conv path (see models/layers.py SpatialMajorConv.spatial_mesh)
+    spatial_mesh: object = None
 
     @nn.compact
     def __call__(
@@ -88,7 +91,7 @@ class UNet3D(nn.Module):
             if in_ndcs:
                 h = SpatialMajorConv(
                     features, hw=(s, s), dtype=jnp.dtype(cfg.dtype),
-                    name=f"conv{idx}",
+                    name=f"conv{idx}", spatial_mesh=self.spatial_mesh,
                 )(h)
             else:
                 h = nn.Conv(

@@ -44,6 +44,9 @@ def _leaky(slope):
 
 class Encoder(nn.Module):
     cfg: VAEConfig = VAEConfig()
+    # optional (data, spatial) Mesh for the explicit multi-chip Pallas
+    # conv path (see models/layers.py SpatialMajorConv.spatial_mesh)
+    spatial_mesh: object = None
 
     @nn.compact
     def __call__(self, x, cond, train: bool = False):
@@ -85,7 +88,8 @@ class Encoder(nn.Module):
                 in_ndcs = False
             if in_ndcs:
                 x = SpatialMajorConv(
-                    f, hw=(s, s), dtype=dtype, name=f"Conv_{i}"
+                    f, hw=(s, s), dtype=dtype, name=f"Conv_{i}",
+                    spatial_mesh=self.spatial_mesh,
                 )(x)
                 x = nn.BatchNorm(
                     use_running_average=not train,
@@ -138,6 +142,7 @@ class Encoder(nn.Module):
 
 class Decoder(nn.Module):
     cfg: VAEConfig = VAEConfig()
+    spatial_mesh: object = None
 
     @nn.compact
     def __call__(self, z, cond, train: bool = False):
@@ -166,7 +171,8 @@ class Decoder(nn.Module):
                 in_ndcs = True
             if in_ndcs:
                 x = SpatialMajorConv(
-                    f, hw=(s, s), dtype=dtype, name=f"Conv_{i}"
+                    f, hw=(s, s), dtype=dtype, name=f"Conv_{i}",
+                    spatial_mesh=self.spatial_mesh,
                 )(x)
                 x = nn.BatchNorm(
                     use_running_average=not train,
@@ -206,7 +212,8 @@ class Decoder(nn.Module):
             # accumulates in f32), then BN+ReLU finish in f32 as in the
             # NDHWC path (vae/lattice_vae.py:225-226 clamps outputs >= 0).
             x = SpatialMajorConv(
-                channels, hw=(s, s), dtype=dtype, name="decoder_output"
+                channels, hw=(s, s), dtype=dtype, name="decoder_output",
+                spatial_mesh=self.spatial_mesh,
             )(x)
             x = x.astype(jnp.float32)
             x = nn.BatchNorm(
@@ -238,10 +245,11 @@ class ConditionalDFCVAE(nn.Module):
     """Encoder + reparameterized sample + decoder in one module."""
 
     cfg: VAEConfig = VAEConfig()
+    spatial_mesh: object = None
 
     def setup(self):
-        self.encoder = Encoder(self.cfg)
-        self.decoder = Decoder(self.cfg)
+        self.encoder = Encoder(self.cfg, spatial_mesh=self.spatial_mesh)
+        self.decoder = Decoder(self.cfg, spatial_mesh=self.spatial_mesh)
 
     def __call__(self, x, cond, rng, train: bool = False):
         """Full VAE pass.

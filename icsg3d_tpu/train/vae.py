@@ -29,11 +29,15 @@ from icsg3d_tpu.train.state import ModelState
 
 
 def create_vae_state(
-    cfg: VAEConfig, train_cfg: TrainConfig, rng, abstract: bool = False
+    cfg: VAEConfig, train_cfg: TrainConfig, rng, abstract: bool = False,
+    spatial_mesh=None,
 ) -> Tuple[ConditionalDFCVAE, ModelState]:
     """abstract=True builds a host-only zeros skeleton (no device init) —
-    for states about to be overwritten by a checkpoint restore."""
-    model = ConditionalDFCVAE(cfg)
+    for states about to be overwritten by a checkpoint restore.
+
+    spatial_mesh routes the ndcs-layout convs through the halo-sharded
+    Pallas path (models/layers.py SpatialMajorConv.spatial_mesh)."""
+    model = ConditionalDFCVAE(cfg, spatial_mesh=spatial_mesh)
     d = cfg.grid.d
     tx = optax.adam(train_cfg.learning_rate)
 

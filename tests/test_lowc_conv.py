@@ -312,3 +312,67 @@ class TestShardedNdcsConv:
             np.testing.assert_allclose(
                 np.asarray(a), np.asarray(c), atol=2e-3, rtol=1e-4
             )
+
+
+class TestSpatialMeshModels:
+    """spatial_mesh: the ndcs models running their convs through the
+    halo-sharded Pallas path (shard_map over a (data, spatial) mesh)
+    match the single-program ndcs models with shared params."""
+
+    def _mesh(self):
+        from icsg3d_tpu.parallel.mesh import make_mesh
+
+        return make_mesh(2, 2, devices=jax.devices()[:4])
+
+    def test_vae_outputs_match(self):
+        grid = GridSpec(d=16)
+        cfg = VAEConfig(grid=grid, dtype="float32", layout="ndcs")
+        m = ConditionalDFCVAE(cfg)
+        m_sh = ConditionalDFCVAE(cfg, spatial_mesh=self._mesh())
+        rng = np.random.default_rng(7)
+        x = jnp.asarray(rng.random((2, 16, 16, 16, 4)), jnp.float32)
+        cond = jnp.asarray(
+            np.eye(10, dtype=np.float32)[rng.integers(0, 10, 2)]
+        )
+        k = jax.random.key(0)
+        v = m.init(jax.random.key(1), x, cond, k, train=False)
+        out = m.apply(v, x, cond, k, train=False)
+        out_sh = m_sh.apply(v, x, cond, k, train=False)
+        for a, b in zip(out, out_sh):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-5
+            )
+
+    def test_vae_grads_match(self):
+        grid = GridSpec(d=16)
+        cfg = VAEConfig(grid=grid, dtype="float32", layout="ndcs")
+        m = ConditionalDFCVAE(cfg)
+        m_sh = ConditionalDFCVAE(cfg, spatial_mesh=self._mesh())
+        rng = np.random.default_rng(8)
+        x = jnp.asarray(rng.random((2, 16, 16, 16, 4)), jnp.float32)
+        cond = jnp.asarray(
+            np.eye(10, dtype=np.float32)[rng.integers(0, 10, 2)]
+        )
+        k = jax.random.key(0)
+        v = m.init(jax.random.key(1), x, cond, k, train=False)
+
+        def loss(model, params):
+            recon, z_mean, z_log_var, _ = model.apply(
+                {**v, "params": params}, x, cond, k, train=False
+            )
+            return jnp.mean((recon - x) ** 2) + jnp.mean(z_mean**2)
+
+        g = jax.grad(lambda p: loss(m, p))(v["params"])
+        g_sh = jax.grad(lambda p: loss(m_sh, p))(v["params"])
+        flat = jax.tree_util.tree_leaves_with_path(g)
+        # dict of path->leaf keeps the comparison keyed, not positional
+        flat_sh = {
+            jax.tree_util.keystr(kp): l
+            for kp, l in jax.tree_util.tree_leaves_with_path(g_sh)
+        }
+        for kp, a in flat:
+            b = flat_sh[jax.tree_util.keystr(kp)]
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=1e-4, rtol=1e-4,
+                err_msg=jax.tree_util.keystr(kp),
+            )
