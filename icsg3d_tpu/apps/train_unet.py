@@ -17,6 +17,7 @@ from icsg3d_tpu.config import TrainConfig, UNetConfig
 from icsg3d_tpu.data.class_weights import inverse_frequency_weights
 from icsg3d_tpu.data.splits import data_split
 from icsg3d_tpu.data.store import BatchIterator, GridDataset
+from icsg3d_tpu.parallel import make_mesh
 from icsg3d_tpu.train.unet import create_unet_state, prepare_unet_batch, train_unet
 
 
@@ -32,6 +33,13 @@ def main(argv=None):
     p.add_argument("--nrot", type=int, default=10)
     p.add_argument("--split-frac", type=float, default=0.8)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--layout", default="ndhwc", choices=["ndhwc", "ndcs"],
+                   help="activation layout: ndcs runs large-plane conv "
+                        "blocks on the tap-packed Pallas kernel; "
+                        "checkpoints are layout-interchangeable")
+    p.add_argument("--spatial", type=int, default=1,
+                   help="spatial mesh axis size (grid-depth sharding; >1 "
+                        "uses the halo-sharded Pallas path for ndcs)")
     p.add_argument("--no-class-weights", action="store_true")
     p.add_argument("--ship-dtype", default="float16",
                    choices=("float32", "float16"),
@@ -50,7 +58,9 @@ def main(argv=None):
     train_ids, val_ids = data_split(
         ds.ids, n=args.samples, frac=args.split_frac, n_rot=args.nrot
     )
-    cfg = UNetConfig(num_classes=args.num_classes)
+    cfg = UNetConfig(num_classes=args.num_classes, layout=args.layout)
+    mesh = make_mesh(n_spatial=args.spatial)
+    conv_mesh = mesh if (args.layout == "ndcs" and args.spatial > 1) else None
     tc = TrainConfig(
         batch_size=args.batch_size, learning_rate=args.lr, epochs=args.epochs
     )
@@ -61,7 +71,8 @@ def main(argv=None):
     # resuming: abstract (host-zeros) skeleton — skip the device init that
     # the restore would immediately overwrite
     model, state = create_unet_state(
-        cfg, tc, jax.random.key(args.seed), args.d, abstract=resuming
+        cfg, tc, jax.random.key(args.seed), args.d, abstract=resuming,
+        spatial_mesh=conv_mesh,
     )
     if resuming:
         state = _ck.restore(state, "latest")
@@ -106,6 +117,7 @@ def main(argv=None):
         epochs=args.epochs,
         class_weights=class_weights,
         checkpoint_dir=args.ckpt,
+        mesh=mesh,
         plot_dir=os.path.join(args.ckpt, "plots"),
         latest_every=args.ckpt_every,
     )

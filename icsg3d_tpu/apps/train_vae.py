@@ -17,6 +17,7 @@ from icsg3d_tpu.apps import common
 from icsg3d_tpu.data.binning import bin_and_encode
 from icsg3d_tpu.data.splits import data_split
 from icsg3d_tpu.data.store import BatchIterator, GridDataset
+from icsg3d_tpu.parallel import make_mesh
 from icsg3d_tpu.train.vae import create_vae_state, prepare_vae_batch, train_vae
 
 
@@ -40,6 +41,15 @@ def main(argv=None):
     p.add_argument("--num-classes", type=int, default=95)
     p.add_argument("--nrot", type=int, default=10)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--layout", default="ndhwc", choices=["ndhwc", "ndcs"],
+                   help="activation layout: ndcs runs large-plane conv "
+                        "blocks on the tap-packed Pallas kernel "
+                        "(ops/lowc_conv.py); checkpoints are layout-"
+                        "interchangeable")
+    p.add_argument("--spatial", type=int, default=1,
+                   help="spatial mesh axis size: shards grid depth over "
+                        "this many devices (halo-exchanged Pallas path "
+                        "for --layout ndcs, GSPMD for ndhwc)")
     p.add_argument("--ship-dtype", default="float16",
                    choices=("float32", "float16"),
                    help="wire dtype for density grids (cast to float32 on "
@@ -74,7 +84,12 @@ def main(argv=None):
     cfg = VAEConfig(
         grid=grid, latent_dim=args.latent, alpha=args.alpha, beta=args.beta,
         cond_bins=args.cond_bins, filters=common.parse_filters(args.filters),
+        layout=args.layout,
     )
+    mesh = make_mesh(n_spatial=args.spatial)
+    # the ndcs Pallas conv needs the explicit shard_map path to shard over
+    # the spatial axis; pure-DP ndcs and all ndhwc sharding go via GSPMD
+    conv_mesh = mesh if (args.layout == "ndcs" and args.spatial > 1) else None
     tc = TrainConfig(
         batch_size=args.batch_size, learning_rate=args.lr, epochs=args.epochs
     )
@@ -85,7 +100,8 @@ def main(argv=None):
     # resuming: abstract (host-zeros) skeleton — skip the device init that
     # the restore would immediately overwrite
     model, state = create_vae_state(
-        cfg, tc, jax.random.key(args.seed), abstract=resuming
+        cfg, tc, jax.random.key(args.seed), abstract=resuming,
+        spatial_mesh=conv_mesh,
     )
     _mark("vae init")
     if resuming:
@@ -132,6 +148,7 @@ def main(argv=None):
         unet=unet,
         unet_variables=unet_vars,
         checkpoint_dir=args.ckpt,
+        mesh=mesh,
         seed=args.seed,
         plot_dir=os.path.join(args.ckpt, "plots"),
         latest_every=args.ckpt_every,

@@ -36,10 +36,14 @@ def create_unet_state(
     rng,
     grid_d: int = 32,
     abstract: bool = False,
+    spatial_mesh=None,
 ) -> Tuple[UNet3D, ModelState]:
     """abstract=True builds a host-only zeros skeleton (no device init) —
-    for states about to be overwritten by a checkpoint restore."""
-    model = UNet3D(cfg)
+    for states about to be overwritten by a checkpoint restore.
+
+    spatial_mesh routes ndcs-layout convs through the halo-sharded Pallas
+    path (models/layers.py SpatialMajorConv.spatial_mesh)."""
+    model = UNet3D(cfg, spatial_mesh=spatial_mesh)
     tx = optax.adam(train_cfg.learning_rate)
 
     def init():
