@@ -36,6 +36,27 @@ def parse_filters(spec: str) -> Tuple[int, ...]:
     return filters
 
 
+def resolve_grid_d(arg_d, dataset) -> int:
+    """Reconcile a --d flag with the dataset's actual grid resolution.
+
+    The packed GridDataset knows its own d; a silently mismatched flag
+    used to surface as a cryptic Flax param-shape error deep in the
+    first train step (model built for d=32, batches shipped at d=16).
+    Default (None) adopts the dataset's d; an explicit conflicting value
+    is a hard error.
+    """
+    ds_d = int(dataset.d)
+    if arg_d is None:
+        return ds_d
+    if int(arg_d) != ds_d:
+        raise SystemExit(
+            f"--d {arg_d} does not match the dataset's grid resolution "
+            f"{ds_d} (from {dataset.path}); drop --d to use the "
+            "dataset's value"
+        )
+    return int(arg_d)
+
+
 def add_vae_flags(parser) -> None:
     """The VAE-checkpoint geometry flags shared by every consuming CLI."""
     parser.add_argument(

@@ -28,7 +28,8 @@ def main(argv=None):
     p.add_argument("--epochs", type=int, default=50)
     p.add_argument("--batch-size", type=int, default=10)
     p.add_argument("--lr", type=float, default=3e-6)
-    p.add_argument("--d", type=int, default=32)
+    p.add_argument("--d", type=int, default=None,
+                   help="grid resolution; default: read from the dataset")
     p.add_argument("--num-classes", type=int, default=95)
     p.add_argument("--nrot", type=int, default=10)
     p.add_argument("--split-frac", type=float, default=0.8)
@@ -55,6 +56,7 @@ def main(argv=None):
     args = p.parse_args(argv)
 
     ds = GridDataset(args.data)
+    args.d = common.resolve_grid_d(args.d, ds)
     train_ids, val_ids = data_split(
         ds.ids, n=args.samples, frac=args.split_frac, n_rot=args.nrot
     )

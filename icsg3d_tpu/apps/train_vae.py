@@ -30,7 +30,8 @@ def main(argv=None):
     p.add_argument("--epochs", type=int, default=250)
     p.add_argument("--batch-size", type=int, default=20)
     p.add_argument("--lr", type=float, default=5e-4)
-    p.add_argument("--d", type=int, default=32)
+    p.add_argument("--d", type=int, default=None,
+                   help="grid resolution; default: read from the dataset")
     p.add_argument("--latent", type=int, default=256)
     p.add_argument("--filters", default="16,32,64,128",
                    help="comma-separated encoder filter blocks; the grid is "
@@ -75,6 +76,7 @@ def main(argv=None):
             print(f"[startup] {stage}: {_time.time() - _t0:.1f}s", flush=True)
 
     ds = GridDataset(args.data)
+    args.d = common.resolve_grid_d(args.d, ds)
     train_ids, val_ids = data_split(ds.ids, n=args.samples, n_rot=args.nrot)
     _mark("dataset open + split")
     # trim to batch multiples (train_vae.py:108-111 semantics are automatic:

@@ -149,11 +149,16 @@ class SpatialMajorConv(nn.Module):
         if use:
             return conv_ndcs(x, kernel, bias, (H, W))
         xh = from_ndcs(x, H, W)
+        # No preferred_element_type here: with bf16 operands it makes the
+        # cotangent f32, and lax.conv's transpose rule feeds that f32
+        # cotangent back into a conv with the bf16 kernel — a dtype
+        # mismatch error under jax.grad.  Matches nn.Conv's behavior
+        # (compute dtype in, compute dtype out; TPU still accumulates
+        # conv products in f32 internally).
         y = jnp.asarray(
             jax.lax.conv_general_dilated(
                 xh, kernel.astype(self.dtype), (1, 1, 1), "SAME",
                 dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
-                preferred_element_type=jnp.float32,
             )
         ) + bias.reshape(1, 1, 1, 1, -1)
         return to_ndcs(y.astype(self.dtype))

@@ -70,32 +70,39 @@ def pack_weights(w):
     return jnp.transpose(w, (1, 2, 4, 0, 3)).reshape(9 * cout, 3 * cin)
 
 
-def _plane_dma(x_hbm, vpad_ref, sems, *, b, d0, dblk, D, S, valid):
-    """DMA the dblk+2 input planes a program needs into the vpad scratch.
+def _plane_dma(x_hbm, vpad_ref, sems, *, b, d0, dblk, D, S, valid, phases):
+    """DMA input planes into the vpad scratch.
 
     In ``same`` mode plane k maps to global plane d0-1+k with zero
     (apron-initialised) planes outside [0, D); in ``valid`` mode the
     input is already depth-padded, so plane k is d0+k, always in range.
     The zero fill is unconditional: the 128-lane aprons flanking each
     plane are never DMA'd and must read as zero in either mode.
+
+    ``phases`` selects what to run: ``("start",)`` zero-fills and starts
+    all dblk+2 copies; ``("wait", k)`` waits on plane k only.  Splitting
+    start/wait lets the compute loop wait per-plane, so the tail of the
+    transfer overlaps the first planes' matmuls instead of serializing
+    in front of the whole block.
     """
-    vpad_ref[:] = jnp.zeros_like(vpad_ref)
-    for phase in ("start", "wait"):
-        for k in range(dblk + 2):
-            src = d0 + k if valid else d0 - 1 + k
+    if phases[0] == "start":
+        vpad_ref[:] = jnp.zeros_like(vpad_ref)
+    ks = range(dblk + 2) if phases[0] == "start" else (phases[1],)
+    for k in ks:
+        src = d0 + k if valid else d0 - 1 + k
 
-            def _go(k=k, src=src):
-                copy = pltpu.make_async_copy(
-                    x_hbm.at[b, pl.ds(src, 1)],
-                    vpad_ref.at[pl.ds(k, 1), :, pl.ds(_APRON, S)],
-                    sems.at[k],
-                )
-                copy.start() if phase == "start" else copy.wait()
+        def _go(k=k, src=src):
+            copy = pltpu.make_async_copy(
+                x_hbm.at[b, pl.ds(src, 1)],
+                vpad_ref.at[pl.ds(k, 1), :, pl.ds(_APRON, S)],
+                sems.at[k],
+            )
+            copy.start() if phases[0] == "start" else copy.wait()
 
-            if valid:
-                _go()
-            else:
-                pl.when((src >= 0) & (src < D))(_go)
+        if valid:
+            _go()
+        else:
+            pl.when((src >= 0) & (src < D))(_go)
 
 
 def _kernel(
@@ -107,9 +114,11 @@ def _kernel(
     Cout = out_ref.shape[2]
     S = out_ref.shape[3]
 
-    _plane_dma(
-        x_hbm, vpad_ref, sems, b=b, d0=d0, dblk=dblk, D=D, S=S, valid=valid
+    dma = functools.partial(
+        _plane_dma, x_hbm, vpad_ref, sems,
+        b=b, d0=d0, dblk=dblk, D=D, S=S, valid=valid,
     )
+    dma(phases=("start",))
 
     # w-edge masks: a flat (h*W + w) lane shift by dw-1 wraps rows, so the
     # first (dw=0) / last (dw=2) column of each row must contribute zero.
@@ -118,6 +127,10 @@ def _kernel(
     last_col = col == W - 1
 
     for j in range(dblk):
+        # plane j consumes vpad rows j..j+2; wait only what's new so the
+        # remaining transfers overlap this plane's matmul.
+        for k in ((0, 1, 2) if j == 0 else (j + 2,)):
+            dma(phases=("wait", k))
         x3 = jnp.concatenate(
             [vpad_ref[j + dd] for dd in range(3)], axis=0
         )
@@ -138,6 +151,27 @@ def _kernel(
                 acc = acc + sl
         acc = acc + b_ref[:]
         out_ref[0, j] = acc.astype(out_ref.dtype)
+
+
+def _sublane_granule(dtype) -> int:
+    return {1: 32, 2: 16, 4: 8}.get(jnp.dtype(dtype).itemsize, 8)
+
+
+def _pad_channels(x, wt=None):
+    """Pad the C dim of spatial-major x (B, D, C, S) to the sublane
+    granule, and (if given) insert matching zero columns into the
+    tap-packed weights (9Cout, 3C) -> (9Cout, 3Cp)."""
+    B, D, C, S = x.shape
+    Cp = _round_up(C, _sublane_granule(x.dtype))
+    if Cp == C:
+        return x, wt
+    x = jnp.pad(x, ((0, 0), (0, 0), (0, Cp - C), (0, 0)))
+    if wt is not None:
+        rows = wt.shape[0]
+        wt = jnp.pad(
+            wt.reshape(rows, 3, C), ((0, 0), (0, 0), (0, Cp - C))
+        ).reshape(rows, 3 * Cp)
+    return x, wt
 
 
 def _pick_dblk(D: int) -> int:
@@ -179,6 +213,14 @@ def conv3d_lowc_ndcs(
         if W + 1 > _APRON:
             raise ValueError(f"W={W} exceeds the {_APRON}-lane apron")
     out_dtype = out_dtype or x.dtype
+
+    # Mosaic needs the channel (second-minor) dim sublane-aligned: the
+    # 3-deep row stack of a misaligned C (e.g. the VAE encoder's 14
+    # input channels -> 42 rows) crashes the TPU compile helper.  Pad C
+    # to the sublane granule with zero channels / zero weight columns;
+    # the extra rows multiply zeros and change nothing.
+    x, wt = _pad_channels(x, wt)
+    C = x.shape[2]
 
     return pl.pallas_call(
         functools.partial(_kernel, dblk=dblk, D=D, W=W, valid=depth_valid),
@@ -231,9 +273,11 @@ def _dw_kernel(x_hbm, g_ref, out_ref, vpad_ref, sems, *, dblk, D, W, valid):
     S = g_ref.shape[3]
     SP = S + 2 * _APRON
 
-    _plane_dma(
-        x_hbm, vpad_ref, sems, b=b, d0=d0, dblk=dblk, D=D, S=S, valid=valid
+    dma = functools.partial(
+        _plane_dma, x_hbm, vpad_ref, sems,
+        b=b, d0=d0, dblk=dblk, D=D, S=S, valid=valid,
     )
+    dma(phases=("start",))
 
     @pl.when((b == 0) & (t == 0))
     def _():
@@ -245,6 +289,8 @@ def _dw_kernel(x_hbm, g_ref, out_ref, vpad_ref, sems, *, dblk, D, W, valid):
 
     acc = jnp.zeros(out_ref.shape, jnp.float32)
     for j in range(dblk):
+        for k in ((0, 1, 2) if j == 0 else (j + 2,)):
+            dma(phases=("wait", k))
         x3 = jnp.concatenate(
             [vpad_ref[j + dd] for dd in range(3)], axis=0
         )
@@ -292,7 +338,12 @@ def conv3d_lowc_ndcs_dw(
     if not interpret and S % 128:
         raise ValueError(f"S={S} must be a multiple of 128")
 
-    return pl.pallas_call(
+    # Same sublane-alignment padding as the forward; the padded weight
+    # gradient columns are exact zeros, sliced off below.
+    x, _ = _pad_channels(x)
+    Cp = x.shape[2]
+
+    dwt_p = pl.pallas_call(
         functools.partial(_dw_kernel, dblk=dblk, D=D, W=W, valid=depth_valid),
         grid=(B, d_out // dblk),
         in_specs=[
@@ -303,16 +354,16 @@ def conv3d_lowc_ndcs_dw(
             ),
         ],
         out_specs=pl.BlockSpec(
-            (9 * cout, 3 * C), lambda b, t: (0, 0),
+            (9 * cout, 3 * Cp), lambda b, t: (0, 0),
             memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((9 * cout, 3 * C), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((9 * cout, 3 * Cp), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((dblk + 2, C, S + 2 * _APRON), x.dtype),
+            pltpu.VMEM((dblk + 2, Cp, S + 2 * _APRON), x.dtype),
             pltpu.SemaphoreType.DMA((dblk + 2,)),
         ],
         cost_estimate=pl.CostEstimate(
-            flops=2 * B * d_out * 9 * cout * 3 * C * (S + 2 * _APRON),
+            flops=2 * B * d_out * 9 * cout * 3 * Cp * (S + 2 * _APRON),
             bytes_accessed=int(
                 x.size * x.dtype.itemsize * (1 + 2 / dblk)
                 + g.size * g.dtype.itemsize
@@ -321,6 +372,7 @@ def conv3d_lowc_ndcs_dw(
         ),
         interpret=interpret,
     )(x, g)
+    return dwt_p.reshape(9 * cout, 3, Cp)[:, :, :C].reshape(9 * cout, 3 * C)
 
 
 def unpack_weight_grad(dwt, cin: int, cout: int):

@@ -178,6 +178,39 @@ class TestNdcsVAELayout:
         )
 
 
+class TestNdcsBf16Grads:
+    """The production configs run bfloat16; the layout fallback conv once
+    broke only under jax.grad with bf16 (preferred_element_type=f32 made
+    the cotangent f32, which lax.conv's transpose fed back into a conv
+    against the bf16 kernel — models/layers.py).  Exercise a full bf16
+    DFC train step in the ndcs layout end-to-end."""
+
+    def test_vae_train_step_bf16_ndcs(self):
+        from icsg3d_tpu.config import TrainConfig, UNetConfig
+        from icsg3d_tpu.train.unet import create_unet_state
+        from icsg3d_tpu.train.vae import create_vae_state, make_vae_steps
+
+        grid = GridSpec(d=16)
+        tc = TrainConfig(batch_size=2, learning_rate=5e-4)
+        vae, state = create_vae_state(
+            VAEConfig(grid=grid, layout="ndcs"), tc, jax.random.key(0)
+        )
+        unet, ustate = create_unet_state(
+            UNetConfig(layout="ndcs"), tc, jax.random.key(1), grid_d=16
+        )
+        step, _ = make_vae_steps(
+            vae, unet,
+            {"params": ustate.params, "batch_stats": ustate.batch_stats},
+        )
+        rng = np.random.default_rng(0)
+        batch = {
+            "x": jnp.asarray(rng.random((2, 16, 16, 16, 4)), jnp.float32),
+            "cond": jnp.asarray(np.eye(10, dtype=np.float32)[[1, 4]]),
+        }
+        state, mets = step(state, batch, jax.random.key(2))
+        assert np.isfinite(float(mets["loss"]))
+
+
 class TestNdcsUNetLayout:
     """UNetConfig.layout="ndcs": same parameter tree, identical heads and
     perceptual taps (CPU fallback path = same XLA conv)."""
