@@ -226,7 +226,7 @@ def conv3d_lowc_ndcs(
         functools.partial(_kernel, dblk=dblk, D=D, W=W, valid=depth_valid),
         grid=(B, d_out // dblk),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),  # x stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),  # x stays in HBM
             pl.BlockSpec(
                 wt.shape, lambda b, t: (0, 0), memory_space=pltpu.VMEM
             ),
@@ -347,7 +347,7 @@ def conv3d_lowc_ndcs_dw(
         functools.partial(_dw_kernel, dblk=dblk, D=D, W=W, valid=depth_valid),
         grid=(B, d_out // dblk),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(
                 (1, dblk, cout, S), lambda b, t: (b, t, 0, 0),
                 memory_space=pltpu.VMEM,

@@ -112,7 +112,7 @@ def conv3d_bn_relu_pallas(x, w, scale, shift, interpret: bool = False):
         _conv_kernel,
         grid=(B, D),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),   # x stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),   # x stays in HBM
             pl.BlockSpec(
                 (27, C, Cout), lambda b, d: (0, 0, 0),
                 memory_space=pltpu.VMEM,

@@ -299,6 +299,32 @@ class TestVoxelizeApp:
         assert arrays["density"].shape[0] == 0
 
 
+class TestResolveGridD:
+    """--d on the train CLIs must agree with the dataset's packed grid
+    resolution; silently building a d=32 model over d=16 batches used to
+    die with an opaque Flax param-shape error in the first step."""
+
+    class _DS:
+        d = 16
+        path = "/tmp/ds"
+
+    def test_default_adopts_dataset_d(self):
+        from icsg3d_tpu.apps.common import resolve_grid_d
+
+        assert resolve_grid_d(None, self._DS()) == 16
+
+    def test_matching_flag_ok(self):
+        from icsg3d_tpu.apps.common import resolve_grid_d
+
+        assert resolve_grid_d(16, self._DS()) == 16
+
+    def test_mismatch_is_hard_error(self):
+        from icsg3d_tpu.apps.common import resolve_grid_d
+
+        with pytest.raises(SystemExit, match="does not match"):
+            resolve_grid_d(32, self._DS())
+
+
 class TestCLIs:
     def test_voxelize_cli_synthetic(self, tmp_path):
         env = _cpu_subprocess_env()
