@@ -174,9 +174,32 @@ def _pad_channels(x, wt=None):
     return x, wt
 
 
-def _pick_dblk(D: int) -> int:
-    for cand in (8, 4, 2, 1):
-        if D % cand == 0:
+def _pick_dblk(
+    D: int, C: int = 0, S: int = 0, cout: int = 0, itemsize: int = 2
+) -> int:
+    """Largest depth block that divides D and fits the VMEM budget.
+
+    Bigger blocks amortize the 2-plane halo re-read (HBM traffic is
+    (1 + 2/dblk)x of x) and the per-program prologue; the ceiling is
+    VMEM: the vpad scratch, the double-buffered output block, and the
+    per-plane f32 matmul result P must coexist in ~16 MB.
+    """
+    budget = 12 * 1024 * 1024
+    sp = S + 2 * _APRON
+    for cand in (16, 8, 4, 2, 1):
+        if D % cand:
+            continue
+        if not S:  # no geometry given (legacy callers): keep the old cap
+            if cand <= 8:
+                return cand
+            continue
+        need = (
+            (cand + 2) * C * sp * itemsize      # vpad scratch
+            + 2 * cand * cout * S * itemsize    # out block, double-buffered
+            + 9 * cout * sp * 4                 # P (f32 matmul result)
+            + 9 * cout * 3 * C * itemsize       # packed weights
+        )
+        if need <= budget:
             return cand
     return 1
 
@@ -202,7 +225,10 @@ def conv3d_lowc_ndcs(
     B, D, C, S = x.shape
     cout = wt.shape[0] // 9
     d_out = D - 2 if depth_valid else D
-    dblk = dblk or _pick_dblk(d_out)
+    dblk = dblk or _pick_dblk(
+        d_out, _round_up(C, _sublane_granule(x.dtype)), S, cout,
+        x.dtype.itemsize,
+    )
     if d_out % dblk:
         raise ValueError(f"dblk {dblk} must divide output depth {d_out}")
     if not interpret:
@@ -334,7 +360,10 @@ def conv3d_lowc_ndcs_dw(
     d_out = D - 2 if depth_valid else D
     if g.shape[1] != d_out:
         raise ValueError(f"cotangent depth {g.shape[1]} != {d_out}")
-    dblk = dblk or _pick_dblk(d_out)
+    dblk = dblk or _pick_dblk(
+        d_out, _round_up(C, _sublane_granule(x.dtype)), S, cout,
+        x.dtype.itemsize,
+    )
     if not interpret and S % 128:
         raise ValueError(f"S={S} must be a multiple of 128")
 
