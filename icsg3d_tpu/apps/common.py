@@ -67,12 +67,19 @@ def add_vae_flags(parser) -> None:
         "--filters", default="16,32,64,128",
         help="comma-separated VAE filter blocks of the checkpoint",
     )
+    parser.add_argument(
+        "--layout", default="ndhwc", choices=["ndhwc", "ndcs"],
+        help="activation layout for the conv stacks (both models); "
+             "parameter trees are layout-independent, so any checkpoint "
+             "loads under either layout (ops/lowc_conv.py)",
+    )
 
 
 def vae_config_from_args(args, grid) -> VAEConfig:
     return VAEConfig(
         grid=grid, cond_bins=args.cond_bins, latent_dim=args.latent,
         filters=parse_filters(args.filters),
+        layout=getattr(args, "layout", "ndhwc"),
     )
 
 

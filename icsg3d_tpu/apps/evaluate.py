@@ -213,7 +213,11 @@ def main(argv=None):
         common.vae_config_from_args(args, grid), args.vae_ckpt
     )
     unet_model, unet_vars = common.load_unet(
-        UNetConfig(num_classes=args.num_classes), args.unet_ckpt, grid_d=args.d
+        UNetConfig(
+            num_classes=args.num_classes,
+            layout=getattr(args, "layout", "ndhwc"),
+        ),
+        args.unet_ckpt, grid_d=args.d
     )
     results = evaluate_reconstructions(
         vae_model, vae_vars, unet_model, unet_vars, ds, val_ids, conds_val,
