@@ -40,8 +40,10 @@ dblk+2 input planes and emits dblk output planes, so HBM traffic is
 lane-padding overhead of the NDHWC layout.
 
 Gradients: dx is the same kernel with spatially-flipped, channel-swapped
-weights (a transposed conv is itself a low-channel conv); dw falls back
-to XLA's kernel-gradient conv (a large-M contraction XLA handles well).
+weights (a transposed conv is itself a low-channel conv); dw has its own
+Pallas kernel (_dw_kernel) that scatters the cotangent into the 9
+tap-shifted lane windows and contracts over lanes on the MXU — the
+(conv3d_lowc_vjp NDHWC wrapper still uses XLA's kernel-gradient conv).
 
 ``conv3d_lowc`` takes/returns ordinary NDHWC and transposes at the
 boundary; use the ndcs-native entry points to keep whole networks in the
