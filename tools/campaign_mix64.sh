@@ -1,0 +1,40 @@
+#!/bin/bash
+# BASELINE config 5: DFC-VAE on the 64^3 mixed binary/ternary dataset
+# (data/mix64, 2000 structures: perovskite ABX3 + rocksalt AB).
+# The 32^3-trained U-Net (fully convolutional) supplies the perceptual
+# taps unchanged.  Chunked --resume runs: the axon plugin leaks host RAM
+# per jax array, so each chunk is a fresh process (CLAUDE.md).
+#
+#   bash tools/campaign_mix64.sh [total_epochs] [chunk] [layout]
+set -u
+cd /root/repo
+export JAX_COMPILATION_CACHE_DIR=/root/.cache/jax_comp_cache
+TOTAL=${1:-60}
+CHUNK=${2:-15}
+LAYOUT=${3:-ndcs}
+LOG=output/ns10k/mix64_vae.log
+mkdir -p output/ns10k checkpoints/mix64
+done_epochs=0
+first=1
+while [ $done_epochs -lt $TOTAL ]; do
+  n=$CHUNK
+  rem=$((TOTAL - done_epochs))
+  [ $rem -lt $n ] && n=$rem
+  args=(--data data/mix64 --ckpt checkpoints/mix64/vae
+        --unet-ckpt checkpoints/ns10k/unet
+        --epochs $n --batch-size 48 --lr 5e-4
+        --layout $LAYOUT --ship-dtype float16)
+  [ $first -eq 0 ] && args+=(--resume)
+  echo "=== chunk start epochs_done=$done_epochs n=$n $(date)" >> $LOG
+  timeout 3600 python -m icsg3d_tpu.apps.train_vae "${args[@]}" >> $LOG 2>&1
+  rc=$?
+  echo "=== chunk rc=$rc $(date)" >> $LOG
+  if [ $rc -ne 0 ]; then
+    echo "=== chunk failed; waiting for tunnel before retry" >> $LOG
+    sleep 180
+    continue
+  fi
+  done_epochs=$((done_epochs + n))
+  first=0
+done
+echo "=== campaign complete $(date)" >> $LOG
