@@ -135,9 +135,12 @@ def build_dataset(
     true_sites = np.stack(sites_b)
     true_z = np.stack(z_b) * np.stack(mask_b)
 
-    # Voxelize in fixed-size chunks: the (chunk, d^3, site_pad) distance
-    # intermediates are what bound device memory, not the outputs.
-    chunk = 256
+    # Voxelize in chunks: the (chunk, d^3, site_pad) f32 distance
+    # intermediates are what bound device memory, not the outputs.  Scale
+    # the chunk with grid volume — the old fixed 256 was sized for 32^3
+    # and produced a 17 GB intermediate at 64^3 (larger than TPU HBM; it
+    # also OOM-killed CPU builds of 64^3 datasets).
+    chunk = max(8, int(256 * (32 / grid.d) ** 3))
     Ms, Ss = [], []
     for c0 in range(0, n, chunk):
         sl = slice(c0, c0 + chunk)
