@@ -178,6 +178,52 @@ class TestNdcsVAELayout:
         )
 
 
+class TestPickDblk:
+    """The depth-block picker must maximize planes per program within the
+    VMEM budget (vpad scratch + double-buffered out block + f32 matmul
+    result), and keep the legacy cap when called without geometry."""
+
+    def test_production_shapes_get_16(self):
+        from icsg3d_tpu.ops.lowc_conv import _pick_dblk
+
+        # (d_out, C_padded, S, cout) for the VAE convs at 64^3 and 32^3
+        for d, c, s, co in [
+            (64, 16, 4096, 16), (64, 32, 4096, 16), (64, 16, 4096, 4),
+            (32, 16, 1024, 16), (32, 64, 1024, 32), (16, 128, 256, 64),
+        ]:
+            assert _pick_dblk(d, c, s, co, 2) == 16, (d, c, s, co)
+
+    def test_budget_limits_block(self):
+        from icsg3d_tpu.ops.lowc_conv import _APRON, _pick_dblk
+
+        # A fat shape where the budget binds: 64ch->32ch over 4096-lane
+        # planes fits 4 planes per program, not 16
+        d, c, s, co = 64, 64, 4096, 32
+        dblk = _pick_dblk(d, c, s, co, 2)
+        assert dblk == 4
+        need = (
+            (dblk + 2) * c * (s + 2 * _APRON) * 2
+            + 2 * dblk * co * s * 2
+            + 9 * co * (s + 2 * _APRON) * 4
+            + 9 * co * 3 * c * 2
+        )
+        assert need <= 12 * 1024 * 1024
+        assert d % dblk == 0
+
+    def test_oversized_shape_floors_at_1(self):
+        from icsg3d_tpu.ops.lowc_conv import _pick_dblk
+
+        # The f32 matmul result alone exceeds the budget here; the picker
+        # floors at one plane per program rather than erroring
+        assert _pick_dblk(64, 256, 4096, 256, 2) == 1
+
+    def test_legacy_no_geometry_caps_at_8(self):
+        from icsg3d_tpu.ops.lowc_conv import _pick_dblk
+
+        assert _pick_dblk(64) == 8
+        assert _pick_dblk(6) == 2
+
+
 class TestNdcsBf16Grads:
     """The production configs run bfloat16; the layout fallback conv once
     broke only under jax.grad with bf16 (preferred_element_type=f32 made
