@@ -135,6 +135,49 @@ def bench_unet(d: int, bs: int, layout: str, n_steps: int = 20):
     }
 
 
+def bench_generate(layout: str, d: int = 32, bs: int = 128, n: int = 10):
+    """Fused decode->segment->extract generation program (bench.py's
+    secondary headline), per layout."""
+    import jax.numpy as jnp
+
+    from icsg3d_tpu.apps.generate import fused_generate_fn
+    from icsg3d_tpu.config import (
+        GridSpec, PipelineConfig, TrainConfig, UNetConfig, VAEConfig,
+    )
+    from icsg3d_tpu.train.unet import create_unet_state
+    from icsg3d_tpu.train.vae import create_vae_state
+
+    grid = GridSpec(d=d)
+    tc = TrainConfig(batch_size=bs, learning_rate=5e-4)
+    vae, state = create_vae_state(
+        VAEConfig(grid=grid, layout=layout), tc, jax.random.key(0)
+    )
+    unet, ustate = create_unet_state(
+        UNetConfig(layout=layout), tc, jax.random.key(1), grid_d=d
+    )
+    gen_step = fused_generate_fn(
+        vae, {"params": state.params, "batch_stats": state.batch_stats},
+        unet, {"params": ustate.params, "batch_stats": ustate.batch_stats},
+        PipelineConfig(grid=grid), max_atoms=64,
+    )
+    rng = np.random.default_rng(0)
+    z = jnp.asarray(rng.normal(size=(bs, vae.cfg.latent_dim)).astype(np.float32))
+    cond = jnp.asarray(np.eye(10, dtype=np.float32)[rng.integers(0, 10, bs)])
+    out = gen_step(z, cond)
+    jax.device_get(out[0].ravel()[0])
+    t0 = time.perf_counter()
+    for _ in range(n):
+        out = gen_step(z, cond)
+        z = z + 1e-30 * jnp.sum(out[2])  # chain: tunnel async-timing trap
+    jax.device_get(out[0].ravel()[0])
+    dt = (time.perf_counter() - t0) / n
+    return {
+        "layout": layout, "model": "fused_generate", "d": d,
+        "batch_size": bs, "batch_ms": round(1e3 * dt, 2),
+        "samples_per_sec": round(bs / dt, 1),
+    }
+
+
 def main():
     which = os.environ.get("NDCS_BENCH_CONFIGS", "32,64").split(",")
     results = {"platform": jax.devices()[0].platform}
@@ -154,6 +197,15 @@ def main():
             except Exception as e:
                 r = {"layout": layout, "model": "unet", "error": repr(e)[:500]}
             results[f"unet32_{layout}"] = r
+            print(json.dumps(r), flush=True)
+    if os.environ.get("NDCS_BENCH_GEN", "1") == "1":
+        for layout in ("ndhwc", "ndcs"):
+            try:
+                r = bench_generate(layout)
+            except Exception as e:
+                r = {"layout": layout, "model": "fused_generate",
+                     "error": repr(e)[:500]}
+            results[f"gen32_{layout}"] = r
             print(json.dumps(r), flush=True)
 
     out = os.path.join(
