@@ -133,10 +133,13 @@ class SpatialMajorConv(nn.Module):
             mesh = self.spatial_mesh
             # shard_map needs whole shards; incompatible static shapes
             # (the batch-1 init trace, remainder eval batches) take the
-            # single-program kernel instead.
+            # single-program kernel instead.  Unsupported plane shapes
+            # must also fall through to the XLA conv below, like the
+            # unsharded path does.
             divisible = (
                 x.shape[0] % mesh.shape[DATA_AXIS] == 0
                 and x.shape[1] % mesh.shape[SPATIAL_AXIS] == 0
+                and lowc_supported(H, W)
             )
             if divisible:
                 return conv_ndcs_sharded(

@@ -177,7 +177,8 @@ def _pad_channels(x, wt=None):
 
 
 def _pick_dblk(
-    D: int, C: int = 0, S: int = 0, cout: int = 0, itemsize: int = 2
+    D: int, C: int = 0, S: int = 0, cout: int = 0, itemsize: int = 2,
+    out_itemsize: int = 0,
 ) -> int:
     """Largest depth block that divides D and fits the VMEM budget.
 
@@ -187,6 +188,7 @@ def _pick_dblk(
     per-plane f32 matmul result P must coexist in ~16 MB.
     """
     budget = 12 * 1024 * 1024
+    out_itemsize = out_itemsize or itemsize
     sp = S + 2 * _APRON
     for cand in (16, 8, 4, 2, 1):
         if D % cand:
@@ -197,7 +199,7 @@ def _pick_dblk(
             continue
         need = (
             (cand + 2) * C * sp * itemsize      # vpad scratch
-            + 2 * cand * cout * S * itemsize    # out block, double-buffered
+            + 2 * cand * cout * S * out_itemsize  # out block, double-buffered
             + 9 * cout * sp * 4                 # P (f32 matmul result)
             + 9 * cout * 3 * C * itemsize       # packed weights
         )
@@ -230,6 +232,7 @@ def conv3d_lowc_ndcs(
     dblk = dblk or _pick_dblk(
         d_out, _round_up(C, _sublane_granule(x.dtype)), S, cout,
         x.dtype.itemsize,
+        jnp.dtype(out_dtype).itemsize if out_dtype else x.dtype.itemsize,
     )
     if d_out % dblk:
         raise ValueError(f"dblk {dblk} must divide output depth {d_out}")
@@ -275,7 +278,7 @@ def conv3d_lowc_ndcs(
             flops=2 * B * d_out * 9 * cout * 3 * C * (S + 2 * _APRON),
             bytes_accessed=int(
                 x.size * x.dtype.itemsize * (1 + 2 / dblk)
-                + B * d_out * S * cout * 2
+                + B * d_out * S * cout * jnp.dtype(out_dtype).itemsize
             ),
             transcendentals=0,
         ),
@@ -366,8 +369,13 @@ def conv3d_lowc_ndcs_dw(
         d_out, _round_up(C, _sublane_granule(x.dtype)), S, cout,
         x.dtype.itemsize,
     )
-    if not interpret and S % 128:
-        raise ValueError(f"S={S} must be a multiple of 128")
+    if d_out % dblk:
+        raise ValueError(f"dblk {dblk} must divide output depth {d_out}")
+    if not interpret:
+        if S % 128:
+            raise ValueError(f"S={S} must be a multiple of 128")
+        if W + 1 > _APRON:
+            raise ValueError(f"W={W} exceeds the {_APRON}-lane apron")
 
     # Same sublane-alignment padding as the forward; the padded weight
     # gradient columns are exact zeros, sliced off below.
@@ -461,9 +469,9 @@ def conv_ndcs(x, w, bias, hw, interpret: bool = False, dblk: int = 0):
     """Differentiable spatial-major conv: x (B, D, Cin, S) -> (B, D, Cout, S).
 
     w: (3,3,3,Cin,Cout) float32 (the nn.Conv parameter layout), bias
-    (Cout,) float32, hw = (H, W) with H*W == S.  Forward and input-grad
-    run on the tap-packed Pallas kernel; the weight-grad transposes to
-    NDHWC once and uses XLA's kernel-gradient conv.
+    (Cout,) float32, hw = (H, W) with H*W == S.  Forward, input-grad and
+    weight-grad all run on tap-packed Pallas kernels (the dx conv uses
+    spatially-flipped channel-swapped weights; dw uses _dw_kernel).
     """
     H, W = hw
     cout = w.shape[-1]
@@ -544,13 +552,16 @@ def _conv_ndcs_valid_bwd(hw, interpret, dblk, res, g):
     B, Do, _, S = g.shape
     zeros = jnp.zeros((B, 2, cout, S), g.dtype)
     gp = jnp.concatenate([zeros, g, zeros], axis=1)
+    # This conv's output depth is Do+2 (one plane per input incl. halos),
+    # so a caller-chosen dblk that divides Do need not divide Do+2 —
+    # auto-pick for it rather than inherit and crash.
     dxp = conv3d_lowc_ndcs(
         gp,
         pack_weights(_flip_w(w)).astype(g.dtype),
         jnp.zeros((cin, 1), jnp.float32),
         W=W,
         interpret=interpret,
-        dblk=dblk,
+        dblk=dblk if dblk and (Do + 2) % dblk == 0 else 0,
         depth_valid=True,
     )
     dwt = conv3d_lowc_ndcs_dw(
@@ -581,16 +592,21 @@ def _bwd(interpret, res, g):
     x, w = res
     dx = conv3d_lowc(g, _flip_w(w), None, interpret=interpret)
 
+    # all-f32 vjp: mixing bf16 operands with a (preferred_element_type)
+    # f32 cotangent makes lax.conv's transpose rule mix dtypes and raise
+    xf = x.astype(jnp.float32)
+
     def xla_conv(weights):
         return jax.lax.conv_general_dilated(
-            x, weights.astype(x.dtype), (1, 1, 1), "SAME",
+            xf, weights.astype(jnp.float32), (1, 1, 1), "SAME",
             dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
-            preferred_element_type=jnp.float32,
         )
 
     _, w_vjp = jax.vjp(xla_conv, w)
     (dw,) = w_vjp(g.astype(jnp.float32))
-    db = jnp.sum(g, axis=(0, 1, 2, 3)).astype(jnp.float32)
+    # upcast before the 4-axis sum: accumulating millions of bf16 terms
+    # in bf16 loses the sum (the sibling ndcs VJPs upcast the same way)
+    db = jnp.sum(g.astype(jnp.float32), axis=(0, 1, 2, 3))
     return dx.astype(x.dtype), dw, db
 
 
