@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
 from icsg3d_tpu.parallel import mesh as mesh_lib
@@ -28,22 +29,26 @@ def halo_exchange(x, axis_name: str, halo: int = 1, axis: int = 1):
     extended by ``halo`` on both sides of ``axis``.  Matches SAME/zero
     padding semantics at the global boundary.
     """
+    if halo > x.shape[axis]:
+        raise ValueError(
+            f"halo {halo} exceeds the per-shard extent {x.shape[axis]} on "
+            f"axis {axis}: one ppermute hop can only fetch the immediate "
+            "neighbor's planes — use fewer shards or a smaller kernel"
+        )
     n = jax.lax.psum(1, axis_name)
-    idx = jax.lax.axis_index(axis_name)
 
     lo = jax.lax.slice_in_dim(x, 0, halo, axis=axis)
     hi = jax.lax.slice_in_dim(x, x.shape[axis] - halo, x.shape[axis], axis=axis)
 
     # Send my low slice to the left neighbor (it becomes their high halo)
-    # and my high slice to the right neighbor (their low halo).
-    right = [(i, (i + 1) % n) for i in range(n)]
-    left = [(i, (i - 1) % n) for i in range(n)]
+    # and my high slice to the right neighbor (their low halo).  The perms
+    # are intentionally PARTIAL — no wraparound pair across the ring seam:
+    # ppermute delivers zeros to unlisted destinations, which is exactly
+    # the global-boundary zero padding, with no seam traffic or masking.
+    right = [(i, i + 1) for i in range(n - 1)]
+    left = [(i, i - 1) for i in range(1, n)]
     from_left = jax.lax.ppermute(hi, axis_name, perm=right)   # left nbr's hi
     from_right = jax.lax.ppermute(lo, axis_name, perm=left)   # right nbr's lo
-
-    zeros = jnp.zeros_like(lo)
-    from_left = jnp.where(idx == 0, zeros, from_left)
-    from_right = jnp.where(idx == n - 1, zeros, from_right)
     return jnp.concatenate([from_left, x, from_right], axis=axis)
 
 
@@ -69,8 +74,6 @@ def conv_ndcs_sharded(x, w, bias, hw, mesh: Mesh, interpret: bool = False):
 
     w: (3,3,3,Cin,Cout) float32, bias: (Cout,) float32, hw = (H, W).
     """
-    from jax import shard_map
-
     from icsg3d_tpu.ops.lowc_conv import conv_ndcs_valid
 
     def shard_fn(xs, ws, bs):
@@ -92,12 +95,18 @@ def conv_ndcs_sharded(x, w, bias, hw, mesh: Mesh, interpret: bool = False):
 
 
 def spatial_shard_conv3d(x, kernel, mesh: Mesh):
-    """A 3^3 SAME conv with the depth axis sharded over the spatial mesh axis.
+    """A cubic odd-sized SAME conv with depth sharded over the spatial axis.
 
     Demonstrates (and tests) the halo-exchange contract the spatially-sharded
     models build on: shard D over ``spatial``, halo-exchange, VALID conv.
     """
-    kd = kernel.shape[0]
+    kd, kh, kw = kernel.shape[:3]
+    if not (kd == kh == kw and kd % 2 == 1):
+        # the halo below is derived from the depth tap count and reused as
+        # the H/W SAME padding — only valid for cubic odd kernels
+        raise ValueError(
+            f"kernel must be cubic with odd size, got {kernel.shape[:3]}"
+        )
     halo = (kd - 1) // 2
 
     def shard_fn(xs, ks):
@@ -107,8 +116,6 @@ def spatial_shard_conv3d(x, kernel, mesh: Mesh):
             padding=((0, 0), (halo, halo), (halo, halo)),
             dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
         )
-
-    from jax import shard_map
 
     fn = shard_map(
         shard_fn,
