@@ -113,7 +113,11 @@ def density_peaks(
     A foreground voxel is a peak when no voxel of the SAME connected
     component within a (2*window+1)^3 neighborhood lexicographically
     dominates it on (density, flat index).  The index tie-break collapses
-    flat plateaus to a single seed without epsilon hacks, and the
+    flat plateaus NARROWER than the window to a single seed without
+    epsilon hacks (a constant-density region wider than the window still
+    yields one seed per window-separated extremity — one reason
+    split_peaks measured worse than the binary method and stays off by
+    default), and the
     same-component restriction means a component's own maximum can never be
     suppressed by a taller neighboring blob — every component keeps >= 1
     seed, so splitting never loses atoms.
@@ -246,18 +250,29 @@ def top_regions_by_size(
     start_idx = jnp.where(is_start, iota, jnp.int32(n_vox))
     # suffix min (inclusive) of start_idx, then shift for "next start
     # strictly after i"
-    suffmin = jax.lax.cummin(start_idx[::-1])[::-1]
+    suffmin = jax.lax.cummin(start_idx, reverse=True)
     nxt = jnp.concatenate([suffmin[1:], jnp.full((1,), n_vox, jnp.int32)])
     run_len = (nxt - iota).astype(jnp.float32)
     score = jnp.where(
         is_start & (s < n_vox) & (run_len >= min_size), run_len, -jnp.inf
     )
     # top_k ties break toward the earlier position = smaller label (s is
-    # ascending), the same preference the voxel-index ranking had
-    top_sizes, top_pos = jax.lax.top_k(score, k)
+    # ascending), the same preference the voxel-index ranking had.  k may
+    # exceed n_vox on tiny debug grids (top_k requires k <= axis size);
+    # clamp and pad the extra slots as invalid so caller shapes hold.
+    k_eff = min(k, n_vox)
+    top_sizes, top_pos = jax.lax.top_k(score, k_eff)
     valid = jnp.isfinite(top_sizes)
     top_labels = jnp.where(valid, s[top_pos], jnp.int32(n_vox))
-    return top_labels, jnp.where(valid, top_sizes, 0.0), valid
+    top_sizes = jnp.where(valid, top_sizes, 0.0)
+    if k_eff < k:
+        pad = k - k_eff
+        top_labels = jnp.concatenate(
+            [top_labels, jnp.full((pad,), n_vox, jnp.int32)]
+        )
+        top_sizes = jnp.concatenate([top_sizes, jnp.zeros((pad,))])
+        valid = jnp.concatenate([valid, jnp.zeros((pad,), bool)])
+    return top_labels, top_sizes, valid
 
 
 def absorb_small_components(
@@ -446,9 +461,11 @@ def mode_filter(species: jnp.ndarray, num_classes: int) -> jnp.ndarray:
 
 @functools.partial(
     jax.jit,
+    # absorb_frac stays traced: it only feeds arithmetic, and making it
+    # static would recompile the whole program per swept value
     static_argnames=("max_atoms", "min_voxels", "smooth_classes",
                      "split_peaks", "peak_window", "absorb_min",
-                     "absorb_frac", "method", "erosion_levels", "wmin",
+                     "method", "erosion_levels", "wmin",
                      "vote_classes"),
 )
 def extract_atoms(
