@@ -53,8 +53,9 @@ def decode_and_segment_fn(vae_model, vae_vars, unet_model, unet_vars, pipe: Pipe
         lattice = to_lattice_params(M[..., 1:], grid)
         dv = to_voxel_params(lattice, grid)
         soft, sig = unet_model.apply(unet_vars, M, train=False)
-        probs = jax.nn.softmax(soft, axis=-1)
-        labels = jnp.argmax(probs, axis=-1)
+        # argmax over logits == argmax over softmax; skip the 95-way
+        # softmax over the full voxel grid
+        labels = jnp.argmax(soft, axis=-1)
         binary = (
             jax.nn.sigmoid(sig[..., 0]) > pipe.binary_threshold
         ).astype(jnp.int32)
@@ -143,31 +144,42 @@ def generate_structures_fused(
         n = min(batch_size, n_samples - b * batch_size)
         if n <= 0:
             break
-        z = rng.normal(z_mu, np.sqrt(var), size=(n, len(z_mu))).astype(np.float32)
-        cond_b = np.repeat(cond, n, axis=0)
+        # always run the device program at the full batch shape: a tail
+        # batch with its own shape would retrace and recompile the entire
+        # fused program (a multi-minute cost through the remote helper)
+        z = rng.normal(
+            z_mu, np.sqrt(var), size=(batch_size, len(z_mu))
+        ).astype(np.float32)
+        cond_b = np.repeat(cond, batch_size, axis=0)
         lattice, atoms, cart, valid = step(jnp.asarray(z), jnp.asarray(cond_b))
-        lattice = np.asarray(lattice)
-        atoms = np.asarray(atoms)
-        cart = np.asarray(cart)
-        valid = np.asarray(valid)
+        lattice = np.asarray(lattice)[:n]
+        atoms = np.asarray(atoms)[:n]
+        cart = np.asarray(cart)[:n]
+        valid = np.asarray(valid)[:n]
 
         for i in range(n):
             rec: Dict = {"lattice": lattice[i].tolist(), "valid": False}
             sel = valid[i]
-            if sel.any():
-                structure = Structure.from_cartesian(
-                    lattice[i], atoms[i][sel], cart[i][sel],
-                    angles=pipe.cell_angles,
-                )
-                rec.update(
-                    {
-                        "structure": structure,
-                        "atoms": atoms[i][sel].tolist(),
-                        "coords": cart[i][sel].tolist(),
-                        "formula": structure.reduced_formula,
-                        "valid": bool(structure.is_valid()),
-                    }
-                )
+            try:
+                if sel.any():
+                    structure = Structure.from_cartesian(
+                        lattice[i], atoms[i][sel], cart[i][sel],
+                        angles=pipe.cell_angles,
+                    )
+                    rec.update(
+                        {
+                            "structure": structure,
+                            "atoms": atoms[i][sel].tolist(),
+                            "coords": cart[i][sel].tolist(),
+                            "formula": structure.reduced_formula,
+                            "valid": bool(structure.is_valid()),
+                        }
+                    )
+            except Exception as e:  # noqa: BLE001 — degenerate decode
+                # (e.g. ~zero lattice span -> singular cell matrix) must
+                # cost one sample, not the whole run; host-path parity
+                # (reference generate.py:246-248 catches per sample too)
+                rec["error"] = repr(e)[:200]
             records.append(rec)
     return records
 
@@ -210,17 +222,19 @@ def generate_structures(
         n = min(batch_size, n_samples - b * batch_size)
         if n <= 0:
             break
-        # z ~ N(z_mu_base, var) (generate.py:204)
-        z = rng.normal(z_mu, np.sqrt(var), size=(n, len(z_mu))).astype(
-            np.float32
-        )
-        cond_b = np.repeat(cond, n, axis=0)
+        # z ~ N(z_mu_base, var) (generate.py:204).  Sample the full batch
+        # shape even for the tail: a shrunken tail batch would recompile
+        # the whole decode+segment program through the remote helper.
+        z = rng.normal(
+            z_mu, np.sqrt(var), size=(batch_size, len(z_mu))
+        ).astype(np.float32)
+        cond_b = np.repeat(cond, batch_size, axis=0)
         M, lattice, dv, labels, binary = step(jnp.asarray(z), jnp.asarray(cond_b))
-        M = np.asarray(M)
-        lattice = np.asarray(lattice)
-        dv = np.asarray(dv)
-        labels = np.asarray(labels)
-        binary = np.asarray(binary)
+        M = np.asarray(M)[:n]
+        lattice = np.asarray(lattice)[:n]
+        dv = np.asarray(dv)[:n]
+        labels = np.asarray(labels)[:n]
+        binary = np.asarray(binary)[:n]
 
         for i in range(n):
             rec: Dict = {"lattice": lattice[i].tolist(), "valid": False}
@@ -244,10 +258,13 @@ def generate_structures(
                 if len(atoms) == 0:
                     records.append(rec)
                     continue
-                cart = np.asarray(
-                    voxel_to_cartesian(
-                        jnp.asarray(mu), lattice[i], dv[i], grid
-                    )
+                # pure host arithmetic (mu*dv - eps*l + dv/2): creating
+                # per-sample device arrays here both round-trips the
+                # tunnel and leaks host RAM (axon plugin, CLAUDE.md)
+                cart = (
+                    np.asarray(mu) * dv[i]
+                    - grid.eps_frac * lattice[i]
+                    + dv[i] / 2.0
                 )
                 structure = Structure.from_cartesian(
                     lattice[i], atoms.astype(int), cart,
@@ -335,11 +352,19 @@ def predict_properties(
         dmin=cgcnn_cfg.dmin,
         step=cgcnn_cfg.step,
     )
+    with_structure = [r for r in records if r.get("structure") is not None]
     usable = [
-        r for r in records
-        if r.get("structure") is not None
-        and 0 < len(r["structure"]) <= spec.max_atoms
+        r for r in with_structure if 0 < len(r["structure"]) <= spec.max_atoms
     ]
+    skipped = len(with_structure) - len(usable)
+    if skipped:
+        # no silent caps: the fused extractor can emit up to its
+        # max_atoms (64 default) while the CGCNN graph pads to
+        # spec.max_atoms (50, cgcnn/data.py:161 parity)
+        print(
+            f"predict_properties: skipping {skipped} structure(s) outside "
+            f"1..{spec.max_atoms} atoms (CGCNN pad size)", flush=True,
+        )
     if not usable:
         return
     graphs = featurize_batch([r["structure"] for r in usable], spec)
@@ -375,7 +400,8 @@ def main(argv=None):
     p.add_argument("--nsamples", type=int, default=100)
     p.add_argument("--batch-size", type=int, default=20)
     p.add_argument("--var", type=float, default=0.5)
-    p.add_argument("--d", type=int, default=32)
+    p.add_argument("--d", type=int, default=None,
+                   help="grid resolution; default: read from the dataset")
     p.add_argument("--num-classes", type=int, default=95)
     p.add_argument("--target", default="formation_energy_per_atom")
     p.add_argument("--cond-bins", type=int, default=10)
@@ -400,9 +426,10 @@ def main(argv=None):
     from icsg3d_tpu.data.binning import bin_and_encode
     from icsg3d_tpu.data.store import GridDataset
 
-    grid = GridSpec(d=args.d)
-    pipe = PipelineConfig(grid=grid, cond_bins=args.cond_bins, sample_var=args.var)
     ds = GridDataset(args.data)
+    args.d = common.resolve_grid_d(args.d, ds)
+    grid = GridSpec(d=args.d)
+    pipe = PipelineConfig(grid=grid, cond_bins=args.cond_bins)
     _, conds, _ = bin_and_encode(
         np.asarray(ds.arrays["target"]), args.cond_bins
     )
@@ -418,6 +445,9 @@ def main(argv=None):
         args.unet_ckpt, grid_d=args.d
     )
 
+    if args.base not in ds.index:
+        p.error(f"--base {args.base!r} is not an id in {args.data} "
+                f"(e.g. {ds.ids[0]!r})")
     row = ds.index[args.base]
     gen_fn = generate_structures_fused if args.fused else generate_structures
     records = gen_fn(
@@ -434,7 +464,14 @@ def main(argv=None):
     )
 
     if args.cgcnn_ckpt:
-        prop_ckpts = dict(kv.split("=") for kv in args.cgcnn_ckpt.split(","))
+        try:
+            prop_ckpts = dict(
+                kv.split("=", 1)
+                for kv in args.cgcnn_ckpt.split(",") if kv.strip()
+            )
+        except ValueError:
+            p.error("--cgcnn-ckpt must be name=dir[,name=dir...], got "
+                    f"{args.cgcnn_ckpt!r}")
         predict_properties(records, CGCNNConfig(), prop_ckpts)
 
     annotate_records(records, float(ds.arrays["target"][row]), args.target)

@@ -242,6 +242,8 @@ class PipelineConfig:
     grid: GridSpec = GridSpec()
     cond_bins: int = 10
     target: str = "formation_energy_per_atom"
+    # latent sampling variance (generate.py:204); generation entry points
+    # take `var` explicitly — this records the reference default
     sample_var: float = 0.5
     binary_threshold: float = 0.8   # occupancy threshold (generate.py:224)
     watershed_max_iters: int = 5
