@@ -117,10 +117,15 @@ def main(argv=None):
     cut = int(args.split_frac * n)
     train_idx, val_idx = order[:cut], order[cut:]
 
-    def batches(idx):
+    def batches(idx, shuffle=False):
+        # persistent rng: each epoch (each gen() iteration) draws a new
+        # permutation instead of replaying the split order forever
+        brng = np.random.default_rng(args.seed + 1)
+
         def gen():
+            order = brng.permutation(len(idx)) if shuffle else np.arange(len(idx))
             for s in range(0, len(idx) - args.batch_size + 1, args.batch_size):
-                sel = idx[s : s + args.batch_size]
+                sel = idx[order[s : s + args.batch_size]]
                 yield {k: v[sel] for k, v in graphs.items()}
 
         return gen
@@ -137,7 +142,7 @@ def main(argv=None):
         state = _ck.restore(state, "latest")
         print(f"resumed from {args.ckpt}/latest at step {int(state.step)}")
     state, history = train_cgcnn(
-        model, state, batches(train_idx), batches(val_idx),
+        model, state, batches(train_idx, shuffle=True), batches(val_idx),
         epochs=args.epochs, checkpoint_dir=args.ckpt,
         latest_every=args.ckpt_every,
     )

@@ -62,6 +62,12 @@ def main(argv=None):
     )
     cfg = UNetConfig(num_classes=args.num_classes, layout=args.layout)
     mesh = make_mesh(n_spatial=args.spatial)
+    n_data = mesh.shape["data"]
+    if args.batch_size % n_data:
+        p.error(
+            f"--batch-size {args.batch_size} must be divisible by the "
+            f"data mesh axis ({n_data} devices)"
+        )
     conv_mesh = mesh if (args.layout == "ndcs" and args.spatial > 1) else None
     tc = TrainConfig(
         batch_size=args.batch_size, learning_rate=args.lr, epochs=args.epochs
@@ -99,11 +105,15 @@ def main(argv=None):
     )
 
     def batches(ids, shuffle, seed):
+        # one iterator shared across epochs — its rng advances per
+        # __iter__ so every epoch reshuffles (a fresh BatchIterator per
+        # epoch would replay the same order; see apps/train_vae.py)
+        it = BatchIterator(
+            ds, ids, args.batch_size, fields=fields,
+            shuffle=shuffle, seed=seed,
+        )
+
         def gen():
-            it = BatchIterator(
-                ds, ids, args.batch_size, fields=fields,
-                shuffle=shuffle, seed=seed,
-            )
             for b in it:
                 yield prepare_unet_batch(
                     b, args.num_classes, device_coords=device_coords,

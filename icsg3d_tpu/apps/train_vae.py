@@ -51,6 +51,10 @@ def main(argv=None):
                    help="spatial mesh axis size: shards grid depth over "
                         "this many devices (halo-exchanged Pallas path "
                         "for --layout ndcs, GSPMD for ndhwc)")
+    p.add_argument("--remat-perceptual", action="store_true",
+                   help="recompute the recon-side frozen perceptual "
+                        "forward in the backward pass — trades FLOPs for "
+                        "activation memory at 64^3 (tools/opt64.py)")
     p.add_argument("--ship-dtype", default="float16",
                    choices=("float32", "float16"),
                    help="wire dtype for density grids (cast to float32 on "
@@ -89,6 +93,12 @@ def main(argv=None):
         layout=args.layout,
     )
     mesh = make_mesh(n_spatial=args.spatial)
+    n_data = mesh.shape["data"]
+    if args.batch_size % n_data:
+        p.error(
+            f"--batch-size {args.batch_size} must be divisible by the "
+            f"data mesh axis ({n_data} devices)"
+        )
     # the ndcs Pallas conv needs the explicit shard_map path to shard over
     # the spatial axis; pure-DP ndcs and all ndhwc sharding go via GSPMD
     conv_mesh = mesh if (args.layout == "ndcs" and args.spatial > 1) else None
@@ -128,12 +138,16 @@ def main(argv=None):
 
     def batches(ids, shuffle, seed):
         rows_cond = np.stack([conds[ds.index[i]] for i in ids])
+        # ONE iterator shared across epochs: its rng advances on every
+        # __iter__, so each epoch sees a fresh permutation.  (Building a
+        # new BatchIterator per epoch resets the rng to `seed` and
+        # silently replays the identical batch order all training long.)
+        it = BatchIterator(
+            ds, ids, args.batch_size, fields=fields,
+            shuffle=shuffle, seed=seed, extra={"cond": rows_cond},
+        )
 
         def gen():
-            it = BatchIterator(
-                ds, ids, args.batch_size, fields=fields,
-                shuffle=shuffle, seed=seed, extra={"cond": rows_cond},
-            )
             for b in it:
                 yield prepare_vae_batch(
                     b, b["cond"], device_coords=device_coords,
@@ -154,6 +168,7 @@ def main(argv=None):
         seed=args.seed,
         plot_dir=os.path.join(args.ckpt, "plots"),
         latest_every=args.ckpt_every,
+        remat_perceptual=args.remat_perceptual,
     )
 
     from icsg3d_tpu import viz

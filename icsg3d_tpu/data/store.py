@@ -144,6 +144,7 @@ def prefetch_to_device(iterator, size: int = 2, devices=None):
     """
     q: "queue.Queue" = queue.Queue(maxsize=size)
     sentinel = object()
+    failure: list = []
 
     def producer():
         try:
@@ -153,6 +154,10 @@ def prefetch_to_device(iterator, size: int = 2, devices=None):
                         lambda x: jax.device_put(x, devices), batch
                     )
                 )
+        except BaseException as e:  # noqa: BLE001 — must reach the consumer
+            # without this, a device_put/sharding error killed the thread
+            # and the consumer saw a silently TRUNCATED epoch
+            failure.append(e)
         finally:
             q.put(sentinel)
 
@@ -163,3 +168,5 @@ def prefetch_to_device(iterator, size: int = 2, devices=None):
         if item is sentinel:
             break
         yield item
+    if failure:
+        raise failure[0]

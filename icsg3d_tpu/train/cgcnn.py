@@ -110,6 +110,7 @@ def train_cgcnn(
         )
         if ckpt:
             ckpt.save_epoch(state, vm["mae"], epoch, latest_every=latest_every)
-    if ckpt and latest_every > 1 and ckpt.last_latest_epoch != epochs - 1:
+    if (ckpt and epochs > 0 and latest_every > 1
+            and ckpt.last_latest_epoch != epochs - 1):
         ckpt.save_latest(state)  # final save so --resume continues from the end
     return state, history

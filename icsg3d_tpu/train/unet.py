@@ -228,6 +228,11 @@ def train_unet(
             val_mets.append(eval_step(state, b))
             last_val_batch = b
         tm = _mean_metrics([jax.device_get(m) for m in train_mets])
+        if not tm:
+            raise ValueError(
+                "no train batches: the train split is smaller than the "
+                "batch size (remainders are dropped)"
+            )
         vm = _mean_metrics([jax.device_get(m) for m in val_mets]) or tm
         history.append({"train": tm, "val": vm, "time": time.time() - t0})
         log_fn(
@@ -241,6 +246,7 @@ def train_unet(
             )
             if improved and plot_dir and last_val_batch is not None:
                 _save_best_plots(model, state, last_val_batch, plot_dir)
-    if ckpt and latest_every > 1 and ckpt.last_latest_epoch != epochs - 1:
+    if (ckpt and epochs > 0 and latest_every > 1
+            and ckpt.last_latest_epoch != epochs - 1):
         ckpt.save_latest(state)  # final save so --resume continues from the end
     return state, history

@@ -11,7 +11,7 @@ U-Net forwards + backward is one XLA program.
 from __future__ import annotations
 
 import time
-from typing import Dict, Iterable, Optional, Tuple
+from typing import Callable, Dict, Iterable, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -241,17 +241,21 @@ def _save_best_plots(model, state, batch, plot_dir: str, epoch: int):
     os.makedirs(plot_dir, exist_ok=True)
     variables = {"params": state.params, "batch_stats": state.batch_stats}
     batch = dict(batch)
-    batch["x"] = _assemble_x(batch, model.cfg.grid)
+    x = _assemble_x(batch, model.cfg.grid)
+    # forward only what gets plotted: this un-jitted forward dispatches
+    # per-op over the tunnel and every created array leaks host RAM
+    # (CLAUDE.md) — reconstructing a full 128-batch to plot 4 multiplied
+    # both costs for nothing
+    n = min(4, len(x))
     recon, z_mean, _, _ = model.apply(
-        variables, batch["x"], batch["cond"], jax.random.key(0), train=False
+        variables, x[:n], batch["cond"][:n], jax.random.key(0), train=False
     )
-    n = min(4, len(batch["x"]))
     viz.plot_real_vs_pred(
-        np.asarray(batch["x"][:n]), np.asarray(recon[:n]),
+        np.asarray(x[:n]), np.asarray(recon),
         f"{plot_dir}/reconstructions.png",
     )
     _, samples = sample_prior(
-        model, variables, jax.random.key(epoch), n_samples=4
+        model, variables, jax.random.key(epoch), n_samples=1
     )
     viz.plot_slices(np.asarray(samples[0]), f"{plot_dir}/samples.png")
     viz.plot_latent_kde(np.asarray(z_mean), f"{plot_dir}/latent_kde.png")
@@ -260,8 +264,8 @@ def _save_best_plots(model, state, batch, plot_dir: str, epoch: int):
 def train_vae(
     model: ConditionalDFCVAE,
     state: ModelState,
-    train_batches: Iterable,
-    val_batches: Iterable,
+    train_batches: Callable[[], Iterable],
+    val_batches: Callable[[], Iterable],
     epochs: int,
     unet: Optional[UNet3D] = None,
     unet_variables=None,
@@ -271,12 +275,21 @@ def train_vae(
     log_fn=print,
     plot_dir: Optional[str] = None,
     latest_every: int = 1,
+    remat_perceptual: bool = False,
 ):
     """Epoch loop mirroring LatticeDFCVAE.train (vae/lattice_vae.py:288-342):
     per-epoch train/val metric means, wall-clock print, best-val save (and
-    best-val plots when plot_dir is given)."""
+    best-val plots when plot_dir is given).
+
+    train_batches/val_batches are ZERO-ARG CALLABLES returning a fresh
+    iterable per epoch (so shuffling and prefetch restart each epoch).
+    remat_perceptual recomputes the recon-side frozen perceptual forward
+    in the backward pass — the 64^3 memory lever (tools/opt64.py).
+    """
     mesh = mesh or make_mesh()
-    train_step, eval_step = make_vae_steps(model, unet, unet_variables)
+    train_step, eval_step = make_vae_steps(
+        model, unet, unet_variables, remat_perceptual=remat_perceptual
+    )
     ckpt = CheckpointManager(checkpoint_dir) if checkpoint_dir else None
     key = jax.random.key(seed)
     history = []
@@ -295,6 +308,11 @@ def train_vae(
             val_mets.append(eval_step(state, b, sub))
             last_val_batch = b
         tm = _mean_metrics([jax.device_get(m) for m in train_mets])
+        if not tm:
+            raise ValueError(
+                "no train batches: the train split is smaller than the "
+                "batch size (remainders are dropped, vae/data.py:45 parity)"
+            )
         vm = _mean_metrics([jax.device_get(m) for m in val_mets]) or tm
         epoch_time = time.time() - t0
         n_steps = len(train_mets)
@@ -313,6 +331,7 @@ def train_vae(
             )
             if improved and plot_dir and last_val_batch is not None:
                 _save_best_plots(model, state, last_val_batch, plot_dir, epoch)
-    if ckpt and latest_every > 1 and ckpt.last_latest_epoch != epochs - 1:
+    if (ckpt and epochs > 0 and latest_every > 1
+            and ckpt.last_latest_epoch != epochs - 1):
         ckpt.save_latest(state)  # final save so --resume continues from the end
     return state, history

@@ -146,6 +146,37 @@ class TestSyntheticAndStore:
         assert np.std(targets) > 0.01
 
 
+class TestBatchIteratorEpochs:
+    def test_shared_iterator_reshuffles_each_epoch(self, tmp_path):
+        """A shared BatchIterator must draw a fresh permutation per
+        __iter__ — the training CLIs hold ONE iterator across epochs for
+        exactly this (a fresh iterator per epoch resets the rng and
+        replays the identical batch order all training long)."""
+        ds = build_dataset(str(tmp_path / "ds"), n=16, cfg=VCFG)
+        it = BatchIterator(
+            ds, ds.ids, 4, fields=("density",), shuffle=True, seed=1
+        )
+        orders = [
+            [tuple(b["density"][:, 0, 0, 0]) for b in it] for _ in range(3)
+        ]
+        assert orders[0] != orders[1] or orders[1] != orders[2]
+
+    def test_prefetch_propagates_producer_errors(self):
+        """An exception inside the prefetch producer thread must re-raise
+        in the consumer, not silently truncate the epoch."""
+        from icsg3d_tpu.data.store import prefetch_to_device
+
+        def bad():
+            yield {"x": np.zeros((2, 2), np.float32)}
+            raise RuntimeError("boom in producer")
+
+        got = []
+        with pytest.raises(RuntimeError, match="boom in producer"):
+            for b in prefetch_to_device(bad()):
+                got.append(b)
+        assert len(got) == 1  # the good batch was still delivered
+
+
 class TestAtomFeatures:
     def test_table_shape_and_binary(self):
         t = atom_feature_table()
