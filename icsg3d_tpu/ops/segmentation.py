@@ -7,18 +7,21 @@ algorithmic contract, built on scipy (this environment has no skimage):
    same-value connectivity like skimage.measure.label — watershed.py:56);
 2. per-component convexity test: nonzero voxels / convex-hull voxels
    (watershed.py:81-87); convex blobs are single atoms;
-3. non-convex blobs: erode for foreground markers, dilate for background,
-   marker-based watershed flood on the elevation image (watershed.py:98-111);
+3. non-convex blobs: erode, then connected components of the eroded cores
+   become the split regions; the one-voxel rim eroded away is dropped with
+   the background (the reference's marker flood re-attaches the rim only
+   for its label-1 blob, watershed.py:98-111 — a divergence measured at
+   0.0%% atom-count difference over the generated population,
+   tools/validate_watershed.py);
 4. recursion up to max_iters while (nonzero voxels)/wmin exceeds the object
    count (watershed.py:123-144);
 5. per-region majority-vote species and centroid means
    (watershed.py:158-189) — with the grid size taken from the arrays, not
    hardcoded 32 (fixes watershed.py:178-180).
 
-The watershed flood is a heap-based priority flood (lower elevation first,
-FIFO among equals) — the same algorithm family skimage uses; tie-breaking
-order may differ on exact-equal elevations, a documented divergence that
-does not affect blob splitting on smooth density fields.
+``watershed_flood`` (a vectorized Meyer-family priority flood) is exported
+for callers that need a real marker flood; the production pipeline above
+does not, because its markers already cover every voxel.
 """
 
 from __future__ import annotations
@@ -69,13 +72,19 @@ def watershed_flood(elevation: np.ndarray, markers: np.ndarray) -> np.ndarray:
     Lower elevations flood first (Meyer flooding, the algorithm family of
     skimage.segmentation.watershed); 6-connectivity; every reachable voxel
     ends in some basin.  Fully vectorized: each round claims the
-    lowest-elevation frontier voxels via a label dilation — a per-voxel
-    Python priority queue measured 3 orders of magnitude slower on
-    full-grid blobs from trained decoders.  Tie-breaking among equal-
-    elevation frontier voxels takes the max neighboring label (the
-    classical implementation uses queue order); the split surfaces can
-    differ by one voxel on exactly-equidistant boundaries.
+    lowest-elevation frontier voxels via a label dilation.  Fast when the
+    elevation takes few distinct values (each round claims whole level
+    sets; a per-voxel Python priority queue measured 3 orders of magnitude
+    slower on such inputs) — but on CONTINUOUS elevation fields with ~all-
+    distinct values the rounds degenerate toward one voxel each and a heap
+    flood wins instead (tools/validate_watershed.py keeps one).  Non-
+    finite elevations flood last, as +inf (a NaN used to stall the
+    frontier forever).  Tie-breaking among equal-elevation frontier voxels
+    takes the max neighboring label (the classical implementation uses
+    queue order); the split surfaces can differ by one voxel on exactly-
+    equidistant boundaries.
     """
+    elevation = np.where(np.isfinite(elevation), elevation, np.inf)
     out = markers.astype(np.int64).copy()
     while True:
         unlabeled = out == 0
@@ -198,7 +207,14 @@ def segment_nuclei(
         # others' — same centroids/species either way (the rim is a
         # symmetric one-voxel shell), slightly different region sizes.
 
-        wss = watershed_flood(binary_bbox.astype(float), markers)
+        # No flood step: label_same_value assigns EVERY voxel a marker
+        # (rim and background land in basin 1), so a flood would return
+        # the markers unchanged — the effective algorithm here is
+        # erosion-core connected components, with the one-voxel rim
+        # dropped alongside the background basin (see rim note above;
+        # 0.0%% population divergence vs the reference-faithful heap
+        # flood on generated samples, tools/validate_watershed.py)
+        wss = markers.astype(np.int64).copy()
         wss[wss == 1] = 0  # background basin
         max_class = np.max(R)
         wss = np.where(wss != 0, wss + max_class - 1, 0)  # compact labels
