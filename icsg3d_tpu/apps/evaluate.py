@@ -22,11 +22,7 @@ from icsg3d_tpu.data.binning import bin_and_encode
 from icsg3d_tpu.data.splits import data_split
 from icsg3d_tpu.data.store import BatchIterator, GridDataset
 from icsg3d_tpu.ops.emd import earth_movers_distance
-from icsg3d_tpu.ops.grid import (
-    to_lattice_params,
-    to_voxel_params,
-    voxel_to_cartesian,
-)
+from icsg3d_tpu.ops.grid import to_lattice_params, to_voxel_params
 from icsg3d_tpu.ops.segmentation import watershed_clustering
 
 
@@ -63,6 +59,13 @@ def evaluate_reconstructions(
         unet_model, unet_vars, pipe.binary_threshold
     )
 
+    @jax.jit
+    def lattice_of(recon):
+        # device-side, from the device-resident recon: pulling recon to
+        # host and re-shipping it tripled H2D traffic over the tunnel
+        l = to_lattice_params(recon[..., 1:], grid)
+        return l, to_voxel_params(l, grid)
+
     # True atoms come from the stored site arrays when the dataset carries
     # them (the reference re-parsed each CIF, eval.py:182-190); otherwise
     # fall back to watershed on the clean ground-truth grids.
@@ -70,6 +73,14 @@ def evaluate_reconstructions(
     fields = ["density", "coords", "species", "lattice"]
     if has_sites:
         fields += ["sites", "site_z"]
+    # Pad the id list to a batch multiple (repeating the tail id) so EVERY
+    # sample is evaluated: BatchIterator drops remainders, which silently
+    # excluded up to batch_size-1 samples from the reported means (and a
+    # split smaller than one batch evaluated nothing at all).
+    n_real = len(ids)
+    pad = (-n_real) % batch_size
+    ids = list(ids) + [ids[-1]] * pad
+    conds = np.concatenate([conds, np.repeat(conds[-1:], pad, axis=0)])
     it = BatchIterator(
         dataset, ids, batch_size, fields=tuple(fields),
         extra={"cond": conds},
@@ -77,19 +88,25 @@ def evaluate_reconstructions(
     key = jax.random.key(seed)
     emds, datoms, dlattice = [], [], []
     l_true_all, l_pred_all = [], []
+    n_skipped, first_error = 0, None
+    g = 0  # global sample index over the padded id list
     for batch in it:
         x = common.grid_input(batch["density"], batch["coords"])
         key, sub = jax.random.split(key)
-        recon, _, _ = recon_fn(
+        recon_d, _, _ = recon_fn(
             jnp.asarray(x), jnp.asarray(batch["cond"]), sub
         )
-        recon = np.asarray(recon)
-        l_pred = np.asarray(to_lattice_params(jnp.asarray(recon[..., 1:]), grid))
-        dv_pred = np.asarray(to_voxel_params(jnp.asarray(l_pred), grid))
-        labels, binary, _ = segment(jnp.asarray(recon))
-        labels, binary = np.asarray(labels), np.asarray(binary)
+        l_pred_d, dv_pred_d = lattice_of(recon_d)
+        labels_d, binary_d, _ = segment(recon_d)
+        recon = np.asarray(recon_d)
+        l_pred = np.asarray(l_pred_d)
+        dv_pred = np.asarray(dv_pred_d)
+        labels, binary = np.asarray(labels_d), np.asarray(binary_d)
 
         for i in range(len(recon)):
+            g += 1
+            if g > n_real:
+                break  # padded tail repeats of the last sample
             true_l = batch["lattice"][i][:3]
             # ground-truth atoms from the stored species grid
             S_true = batch["species"][i].astype(int)
@@ -102,8 +119,11 @@ def evaluate_reconstructions(
                     wmin=pipe.watershed_wmin,
                     min_convexity=pipe.watershed_min_convexity,
                 )
-                cart_p = np.asarray(
-                    voxel_to_cartesian(jnp.asarray(mu_p), l_pred[i], dv_pred[i], grid)
+                # host numpy: per-sample device dispatches for 3-vector
+                # math round-trip the tunnel and leak host RAM (CLAUDE.md)
+                cart_p = (
+                    np.asarray(mu_p) * dv_pred[i]
+                    - grid.eps_frac * l_pred[i] + dv_pred[i] / 2.0
                 ) if len(mu_p) else np.zeros((0, 3))
 
                 if has_sites:
@@ -117,19 +137,21 @@ def evaluate_reconstructions(
                         wmin=pipe.watershed_wmin,
                         min_convexity=pipe.watershed_min_convexity,
                     )
-                    dv_true = np.asarray(
-                        to_voxel_params(
-                            jnp.asarray(true_l, jnp.float32)[None], grid
-                        )
-                    )[0]
-                    cart_t = np.asarray(
-                        voxel_to_cartesian(jnp.asarray(mu_t), true_l, dv_true, grid)
+                    dv_true = np.asarray(true_l, np.float64) * (
+                        1.0 + 2.0 * grid.eps_frac
+                    ) / grid.d
+                    cart_t = (
+                        np.asarray(mu_t) * dv_true
+                        - grid.eps_frac * np.asarray(true_l) + dv_true / 2.0
                     ) if len(mu_t) else np.zeros((0, 3))
                     n_true = len(atoms_t)
                 emds.append(earth_movers_distance(cart_p, cart_t))
                 datoms.append(abs(len(atoms_p) - n_true))
-            except Exception:
-                continue  # robustness parity (eval.py:193-199)
+            except Exception as e:  # robustness parity (eval.py:193-199)
+                n_skipped += 1
+                if first_error is None:
+                    first_error = repr(e)[:300]
+                continue
             dlattice.append(np.abs(l_pred[i] - true_l))
             l_true_all.append(np.asarray(true_l, np.float64))
             l_pred_all.append(np.asarray(l_pred[i], np.float64))
@@ -142,6 +164,8 @@ def evaluate_reconstructions(
             dlattice.mean(axis=0).tolist() if len(dlattice) else [float("nan")] * 3
         ),
         "n_evaluated": len(emds),
+        "n_skipped": n_skipped,
+        "first_error": first_error,
         "emds": [float(e) for e in emds],
         "datoms": [int(a) for a in datoms],
         "lattice_true": np.asarray(l_true_all).reshape(-1, 3).tolist(),
@@ -189,7 +213,8 @@ def main(argv=None):
     p.add_argument("--vae-ckpt", required=True)
     p.add_argument("--unet-ckpt", required=True)
     p.add_argument("--batch-size", type=int, default=10)
-    p.add_argument("--d", type=int, default=32)
+    p.add_argument("--d", type=int, default=None,
+                   help="grid resolution; default: read from the dataset")
     p.add_argument("--num-classes", type=int, default=95)
     p.add_argument("--cond-bins", type=int, default=10)
     common.add_vae_flags(p)
@@ -200,14 +225,14 @@ def main(argv=None):
                         "(eval.py:230-322)")
     args = p.parse_args(argv)
 
+    ds = GridDataset(args.data)
+    args.d = common.resolve_grid_d(args.d, ds)
     grid = GridSpec(d=args.d)
     pipe = PipelineConfig(grid=grid, cond_bins=args.cond_bins)
-    ds = GridDataset(args.data)
     _, conds, _ = bin_and_encode(np.asarray(ds.arrays["target"]), args.cond_bins)
     # validation split without rotations (eval.py:130-142)
     _, val_ids = data_split(ds.ids, n=args.samples, n_rot=0)
-    cond_map = {sid: conds[ds.index[sid]] for sid in val_ids}
-    conds_val = np.stack([cond_map[sid] for sid in val_ids])
+    conds_val = conds[[ds.index[sid] for sid in val_ids]]
 
     vae_model, vae_vars = common.load_vae(
         common.vae_config_from_args(args, grid), args.vae_ckpt
@@ -215,7 +240,7 @@ def main(argv=None):
     unet_model, unet_vars = common.load_unet(
         UNetConfig(
             num_classes=args.num_classes,
-            layout=getattr(args, "layout", "ndhwc"),
+            layout=args.layout,
         ),
         args.unet_ckpt, grid_d=args.d
     )
@@ -225,9 +250,12 @@ def main(argv=None):
     )
     summary = {
         k: v for k, v in results.items()
-        if k in ("mean_emd", "mean_datoms", "mean_dlattice", "n_evaluated")
+        if k in ("mean_emd", "mean_datoms", "mean_dlattice",
+                 "n_evaluated", "n_skipped", "first_error")
     }
-    print(json.dumps(summary, indent=1))
+    # sanitize stdout too: NaN means (zero evaluated samples) would print
+    # non-standard JSON tokens that break `... | jq` consumers
+    print(json.dumps(_sanitize_nonfinite(summary), indent=1))
     if args.output:
         with open(args.output, "w") as f:
             # strict-JSON safety: inf/NaN (possible per-sample EMDs on empty
