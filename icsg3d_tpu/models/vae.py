@@ -65,24 +65,24 @@ class Encoder(nn.Module):
         x = x.astype(dtype)
         ndcs = cfg.layout == "ndcs"
         s = x.shape[1]
-        if ndcs and lowc_supported(s, s):
-            x = to_ndcs(x)
-            cond_block = jnp.broadcast_to(
-                jnp.tile(cond.astype(dtype), (1, cfg.cond_repeat))[
-                    :, None, :, None
-                ],
-                (x.shape[0], s, cfg.cond_bins * cfg.cond_repeat, s * s),
-            )
-            x = jnp.concatenate([x, cond_block], axis=2)
-            in_ndcs = True
-        else:
-            cond_block = broadcast_condition(
-                cond.astype(dtype), x.shape[1:-1], repeat=cfg.cond_repeat
-            )
-            x = jnp.concatenate([x, cond_block], axis=-1)
-            in_ndcs = False
+        # one source of truth for the cond_repeat quirk (config.py): build
+        # the condition block in NDHWC and transpose with the activations
+        # — the hand-built ndcs tile this replaces had to mirror the
+        # channel ordering exactly or silently break cross-layout
+        # checkpoint compatibility
+        cond_block = broadcast_condition(
+            cond.astype(dtype), x.shape[1:-1], repeat=cfg.cond_repeat
+        )
+        x = jnp.concatenate([x, cond_block], axis=-1)
+        in_ndcs = False
 
         for i, f in enumerate(cfg.filters):
+            # enter/exit the spatial-major layout per block: the entry
+            # plane may be unsupported (e.g. d=128 exceeds the lane
+            # apron) while deeper blocks are supported, and vice versa
+            if ndcs and not in_ndcs and lowc_supported(s, s):
+                x = to_ndcs(x)
+                in_ndcs = True
             if in_ndcs and not lowc_supported(s, s):
                 x = from_ndcs(x, s, s)
                 in_ndcs = False
@@ -169,6 +169,12 @@ class Decoder(nn.Module):
             if ndcs and not in_ndcs and lowc_supported(s, s):
                 x = to_ndcs(x)
                 in_ndcs = True
+            if in_ndcs and not lowc_supported(s, s):
+                # an upsample grew the plane past kernel support (e.g.
+                # s=128 exceeds the lane apron) — drop back to NDHWC
+                # rather than paying a transpose round-trip per conv
+                x = from_ndcs(x, s, s)
+                in_ndcs = False
             if in_ndcs:
                 x = SpatialMajorConv(
                     f, hw=(s, s), dtype=dtype, name=f"Conv_{i}",
@@ -207,15 +213,15 @@ class Decoder(nn.Module):
 
         channels = cfg.grid.channels
         if in_ndcs:
-            # The output conv runs on the Pallas kernel in the compute
-            # dtype (inputs there are bf16-valued activations; the kernel
-            # accumulates in f32), then BN+ReLU finish in f32 as in the
-            # NDHWC path (vae/lattice_vae.py:225-226 clamps outputs >= 0).
+            # The output conv runs in FLOAT32 in both layouts (NDHWC
+            # branch below casts too): a bf16 output head here would make
+            # the same checkpoint decode different grids depending on
+            # layout.  BN+ReLU finish in f32 (vae/lattice_vae.py:225-226
+            # clamps outputs >= 0).
             x = SpatialMajorConv(
-                channels, hw=(s, s), dtype=dtype, name="decoder_output",
-                spatial_mesh=self.spatial_mesh,
-            )(x)
-            x = x.astype(jnp.float32)
+                channels, hw=(s, s), dtype=jnp.float32,
+                name="decoder_output", spatial_mesh=self.spatial_mesh,
+            )(x.astype(jnp.float32))
             x = nn.BatchNorm(
                 use_running_average=not train,
                 momentum=cfg.bn_momentum,
