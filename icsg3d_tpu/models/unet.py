@@ -73,12 +73,21 @@ class UNet3D(nn.Module):
 
         idx = 0
         skips = []
-        ndcs_layout = getattr(cfg, "layout", "ndhwc") == "ndcs"
+        ndcs_layout = cfg.layout == "ndcs"
         s = x.shape[1]
         in_ndcs = False
-        if ndcs_layout and lowc_supported(s, s):
-            x = to_ndcs(x)
-            in_ndcs = True
+
+        def maybe_enter(h):
+            # per-level layout entry: an unsupported entry plane (e.g.
+            # d=128, past the lane apron) must not disable the Pallas
+            # path for the deeper, supported levels
+            nonlocal in_ndcs
+            if ndcs_layout and not in_ndcs and lowc_supported(s, s):
+                h = to_ndcs(h)
+                in_ndcs = True
+            return h
+
+        x = maybe_enter(x)
 
         # The perceptual taps need post-ReLU (pre-BN) tensors, so the
         # conv/relu/bn sequence is inlined here rather than using ConvBlock.
@@ -120,6 +129,7 @@ class UNet3D(nn.Module):
 
         # Encoder
         for f1, f2 in cfg.enc_filters:
+            x = maybe_enter(x)
             x = conv_relu_bn(x, f1)
             if done():
                 return None, None
@@ -134,6 +144,7 @@ class UNet3D(nn.Module):
             s //= 2
 
         # Bottleneck
+        x = maybe_enter(x)
         x = conv_relu_bn(x, cfg.bottom_filters[0])
         if done():
             return None, None
@@ -147,10 +158,13 @@ class UNet3D(nn.Module):
         ):
             x = upsample_ndcs(x, (s, s)) if in_ndcs else upsample_3d(x)
             s *= 2
+            assert s == skip_s, (s, skip_s)  # loop accounting invariant
             if skip_ndcs and not in_ndcs:
                 x = to_ndcs(x)
                 in_ndcs = True
-            elif in_ndcs and not skip_ndcs:  # pragma: no cover (no config)
+            elif in_ndcs and not skip_ndcs:
+                # reachable when the entry plane is unsupported but
+                # deeper levels ran ndcs (e.g. d=128)
                 x = from_ndcs(x, s, s)
                 in_ndcs = False
             x = jnp.concatenate(
@@ -186,8 +200,17 @@ class UNet3D(nn.Module):
 
 
 def apply_unet(model: UNet3D, variables, x, train: bool = False):
-    """Forward pass returning (soft_logits, sig_logits) without intermediates."""
-    return model.apply(variables, x, train=train, mutable=False)
+    """Forward pass returning (soft_logits, sig_logits) without intermediates.
+
+    train=True runs batch-mode BN and discards the updated batch_stats
+    (flax requires declaring the collection mutable to run at all).
+    """
+    if train:
+        out, _ = model.apply(
+            variables, x, train=True, mutable=["batch_stats"]
+        )
+        return out
+    return model.apply(variables, x, train=False, mutable=False)
 
 
 def unet_features(model: UNet3D, variables, x, taps: Sequence[int]):

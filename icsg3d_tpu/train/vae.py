@@ -56,16 +56,13 @@ def create_vae_state(
 def _perceptual_features(unet: UNet3D, unet_variables, x, taps):
     """Post-ReLU activations of the given conv indices, inside jit.
 
-    Truncates the U-Net at max(taps) and sows only the tapped activations —
-    the decoder tail past conv9 carries ~80% of the U-Net FLOPs at 32^3 and
-    contributes nothing to the DFC loss.
+    Delegates to models.unet.unet_features (single owner of the tap
+    protocol); the U-Net truncates at max(taps) so the decoder tail
+    (~80% of its FLOPs at 32^3) never compiles into the DFC loss.
     """
-    _, state = unet.apply(
-        unet_variables, x, train=False, mutable=["intermediates"],
-        max_conv=max(taps), sow_taps=tuple(taps),
-    )
-    inter = state["intermediates"]
-    return [inter[f"relu{i}"][0] for i in taps]
+    from icsg3d_tpu.models.unet import unet_features
+
+    return unet_features(unet, unet_variables, x, taps)
 
 
 def _assemble_x(batch, grid):
