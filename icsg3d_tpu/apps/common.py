@@ -95,7 +95,14 @@ def checkpoint_if_exists(checkpoint_dir: Optional[str], which: str = "best"):
     import os as _os
     import sys as _sys
 
-    if not _os.path.exists(_os.path.join(checkpoint_dir, which)):
+    probe = _os.path.join(checkpoint_dir, which)
+    if not _os.path.exists(probe) and any(
+        _os.path.exists(probe + suf) for suf in (".new", ".old")
+    ):
+        # a kill inside CheckpointManager._save_swap's rename window left
+        # a finalized sibling; the manager heals it on open
+        return CheckpointManager(checkpoint_dir)
+    if not _os.path.exists(probe):
         if _os.path.isdir(checkpoint_dir):
             print(
                 f"warning: checkpoint dir {checkpoint_dir!r} has no "

@@ -3,12 +3,19 @@
 Reference behavior being replaced: Keras ModelCheckpoint(save_best_only,
 monitor=val_loss) (unet/unet.py:361-367, train_cgcnn.py:90-96) and the
 VAE's manual best-val save_weights (vae/lattice_vae.py:329-339).
+
+Crash safety matters here more than usual: long trainings on this
+environment run as chunked --resume processes that can be OOM-killed at
+any point (CLAUDE.md), so saves swap directories atomically instead of
+deleting the previous checkpoint before the replacement is durable.
 """
 
 from __future__ import annotations
 
 import json
+import math
 import os
+import shutil
 from typing import Any, Optional
 
 import jax
@@ -27,11 +34,30 @@ class CheckpointManager:
         self._ckpt = ocp.PyTreeCheckpointer()
         meta = os.path.join(self.directory, "best_metric.json")
         if os.path.exists(meta):
-            with open(meta) as f:
-                self.best_metric = json.load(f)["metric"]
+            try:
+                with open(meta) as f:
+                    data = json.load(f)
+                self.best_metric = data["metric"]
+                saved_mode = data.get("mode", "min")
+                if saved_mode != mode:
+                    raise ValueError(
+                        f"checkpoint dir {directory} was written with "
+                        f"mode={saved_mode!r}, reopened with {mode!r} — "
+                        "the persisted best metric would be compared in "
+                        "the wrong direction"
+                    )
+            except (json.JSONDecodeError, KeyError):
+                # a kill mid-write leaves a truncated file; treat as no
+                # prior best rather than refusing to start the chunk
+                self.best_metric = None
 
     def _is_better(self, metric: float) -> bool:
-        if self.best_metric is None:
+        if not math.isfinite(metric):
+            # NaN must never become "best": accepted once, no finite
+            # metric ever compares better and best-saving wedges for the
+            # rest of training (and across every --resume chunk)
+            return False
+        if self.best_metric is None or not math.isfinite(self.best_metric):
             return True
         return metric < self.best_metric if self.mode == "min" else metric > self.best_metric
 
@@ -43,9 +69,36 @@ class CheckpointManager:
             "opt_state": state.opt_state,
         }
 
+    def _save_swap(self, name: str, tree) -> None:
+        """Durable overwrite: finalize the new checkpoint next to the old
+        one, then swap via renames.  Orbax's force=True instead DELETES
+        the destination before writing — a kill mid-save would destroy
+        the only copy of `latest` and silently discard the whole run on
+        the next --resume chunk."""
+        path = os.path.join(self.directory, name)
+        new, old = path + ".new", path + ".old"
+        shutil.rmtree(new, ignore_errors=True)
+        shutil.rmtree(old, ignore_errors=True)
+        self._ckpt.save(new, tree, force=True)  # fully finalized here
+        if os.path.exists(path):
+            os.rename(path, old)
+        os.rename(new, path)
+        shutil.rmtree(old, ignore_errors=True)
+
+    def _heal(self, name: str) -> None:
+        """Recover from a kill inside _save_swap's rename window: a
+        finalized `.new` (or displaced `.old`) stands in for a missing
+        checkpoint."""
+        path = os.path.join(self.directory, name)
+        if os.path.exists(path):
+            return
+        for cand in (path + ".new", path + ".old"):
+            if os.path.exists(cand):
+                os.rename(cand, path)
+                return
+
     def save_latest(self, state):
-        path = os.path.join(self.directory, "latest")
-        self._ckpt.save(path, jax.device_get(self._tree(state)), force=True)
+        self._save_swap("latest", jax.device_get(self._tree(state)))
 
     def save_epoch(
         self, state, metric: float, epoch: int, latest_every: int = 1
@@ -55,9 +108,10 @@ class CheckpointManager:
         jax.device_get of the full train state (params + Adam moments) is
         the expensive part over a remote device link, so it runs at most
         once per epoch — and only when there is something to write: the
-        metric improved, or the `latest` cadence is due.  Callers should
-        still save_latest() once after the final epoch so resume continues
-        from the true end.  Returns whether `best` improved.
+        metric improved, or the `latest` cadence is due.  The train
+        drivers make one guarded save_latest() after the final epoch only
+        when the cadence skipped it (see train/unet.py's loop tail).
+        Returns whether `best` improved.
         """
         improved = self._is_better(float(metric))
         due = latest_every <= 1 or (epoch + 1) % latest_every == 0
@@ -67,16 +121,13 @@ class CheckpointManager:
         tree = jax.device_get(self._tree(state))
         if improved:
             self.best_metric = float(metric)
-            self._ckpt.save(
-                os.path.join(self.directory, "best"), tree, force=True
-            )
-            with open(
-                os.path.join(self.directory, "best_metric.json"), "w"
-            ) as f:
-                json.dump({"metric": self.best_metric}, f)
-        self._ckpt.save(
-            os.path.join(self.directory, "latest"), tree, force=True
-        )
+            self._save_swap("best", tree)
+            meta = os.path.join(self.directory, "best_metric.json")
+            tmp = meta + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump({"metric": self.best_metric, "mode": self.mode}, f)
+            os.replace(tmp, meta)  # atomic: no truncated json on kill
+        self._save_swap("latest", tree)
         return improved
 
     def restore(self, state, which: str = "best"):
@@ -88,6 +139,7 @@ class CheckpointManager:
         """
         import numpy as np
 
+        self._heal(which)
         path = os.path.join(self.directory, which)
         template = jax.tree_util.tree_map(
             lambda x: np.zeros(x.shape, x.dtype), self._tree(state)
@@ -101,4 +153,5 @@ class CheckpointManager:
         )
 
     def has(self, which: str = "best") -> bool:
+        self._heal(which)
         return os.path.exists(os.path.join(self.directory, which))

@@ -355,6 +355,54 @@ class TestSaveEpoch:
         assert ckpt.best_metric == 1.0
 
 
+class TestCheckpointCrashSafety:
+    """NaN metrics must never wedge best-saving; interrupted swap saves
+    must heal; a truncated best_metric.json must not block resume."""
+
+    def _state(self):
+        _, state = create_unet_state(UNET_CFG, TC, jax.random.key(0), grid_d=8)
+        return state
+
+    def test_nan_metric_never_best(self, tmp_path):
+        state = self._state()
+        ckpt = CheckpointManager(str(tmp_path / "ck"))
+        assert not ckpt.save_epoch(state, float("nan"), epoch=0,
+                                   latest_every=100)
+        assert not ckpt.has("best")
+        assert ckpt.save_epoch(state, 2.0, epoch=1, latest_every=100)
+        assert ckpt.best_metric == 2.0
+
+    def test_heal_after_interrupted_swap(self, tmp_path):
+        import os
+
+        state = self._state()
+        ckpt = CheckpointManager(str(tmp_path / "ck"))
+        ckpt.save_epoch(state, 1.0, epoch=0)
+        latest = str(tmp_path / "ck" / "latest")
+        # simulate a kill between the two renames: checkpoint displaced
+        os.rename(latest, latest + ".new")
+        ckpt2 = CheckpointManager(str(tmp_path / "ck"))
+        assert ckpt2.has("latest")           # healed from .new
+        restored = ckpt2.restore(self._state(), "latest")
+        assert int(restored.step) == int(state.step)
+
+    def test_truncated_metric_json_tolerated(self, tmp_path):
+        state = self._state()
+        ckpt = CheckpointManager(str(tmp_path / "ck"))
+        ckpt.save_epoch(state, 1.0, epoch=0)
+        with open(tmp_path / "ck" / "best_metric.json", "w") as f:
+            f.write('{"metr')  # kill mid-write
+        ckpt2 = CheckpointManager(str(tmp_path / "ck"))
+        assert ckpt2.best_metric is None  # degrades, does not crash
+
+    def test_mode_mismatch_rejected(self, tmp_path):
+        state = self._state()
+        ckpt = CheckpointManager(str(tmp_path / "ck"))
+        ckpt.save_epoch(state, 1.0, epoch=0)
+        with pytest.raises(ValueError, match="mode"):
+            CheckpointManager(str(tmp_path / "ck"), mode="max")
+
+
 class TestShipDtype:
     """float16 density shipping: coords stay float32, loss within fp16 noise."""
 
