@@ -192,8 +192,14 @@ class CGCNNConfig:
 
     @property
     def num_bond_features(self) -> int:
-        # arange(dmin, radius + step, step) -> 41 for the defaults
-        return int(round((self.radius - self.dmin) / self.step)) + 1
+        # delegate to GraphSpec — the single owner of the basis width
+        # (a duplicated closed form disagreed with np.arange for
+        # non-commensurate steps)
+        from icsg3d_tpu.data.graphs import GraphSpec
+
+        return GraphSpec(
+            radius=self.radius, dmin=self.dmin, step=self.step
+        ).num_bond_features
 
 
 @dataclasses.dataclass(frozen=True)

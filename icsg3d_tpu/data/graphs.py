@@ -42,9 +42,26 @@ class GraphSpec:
     dmin: float = 0.0
     step: float = 0.2
 
+    def __post_init__(self):
+        # reference GaussianDistance.__init__ asserts these
+        # (cgcnn/data.py:91-92); failing late means a (..., 0)-wide bond
+        # basis silently trains with zero bond features
+        if self.step <= 0:
+            raise ValueError(f"step must be positive, got {self.step}")
+        if self.dmin >= self.radius:
+            raise ValueError(
+                f"dmin {self.dmin} must be < radius {self.radius}"
+            )
+        if self.radius - self.dmin <= self.step:
+            raise ValueError("radius - dmin must exceed step")
+
     @property
     def num_bond_features(self) -> int:
-        return int(round((self.radius - self.dmin) / self.step)) + 1
+        # single source of truth: the actual basis width (a closed-form
+        # round() disagreed with np.arange for non-commensurate
+        # (radius-dmin)/step, e.g. radius=4 step=0.3 -> 15 centers, 14
+        # claimed)
+        return len(self.filter_centers)
 
     @property
     def filter_centers(self) -> np.ndarray:
@@ -105,6 +122,11 @@ def featurize_batch(
     structures: Sequence[Structure], spec: GraphSpec = GraphSpec()
 ) -> Dict[str, np.ndarray]:
     """Stack per-structure graph arrays into batch arrays."""
+    if not structures:
+        raise ValueError(
+            "featurize_batch got no structures (empty CIF dir, every "
+            "structure filtered by max_atoms, or no target matches)"
+        )
     feats: List[Dict[str, np.ndarray]] = [
         featurize_structure(s, spec) for s in structures
     ]
