@@ -20,12 +20,23 @@ from icsg3d_tpu.crystal.lattice import Lattice
 from icsg3d_tpu.crystal.structure import Site, Structure
 
 _NUM_RE = re.compile(r"[-+]?\d*\.?\d+(?:[eE][-+]?\d+)?")
-_SYMOP_ALLOWED = re.compile(r"^[xyz0-9+\-*/. ()]+$")
+_UNKNOWN_MARKS = ("?", ".")  # CIF unknown/not-applicable value markers
 
 
-def _parse_number(token: str) -> float:
-    """Parse a CIF numeric token, stripping uncertainty suffixes like 1.23(4)."""
-    m = _NUM_RE.match(token.strip())
+def _parse_number(token: str, default: Optional[float] = None) -> float:
+    """Parse a CIF numeric token, stripping uncertainty suffixes like 1.23(4).
+
+    ``default`` is returned for the CIF unknown markers '?' and '.'
+    (callers that can degrade, e.g. occupancy -> 1.0, pass one; others
+    get a clear error naming the token).
+    """
+    tok = token.strip()
+    if tok in _UNKNOWN_MARKS:
+        if default is not None:
+            return default
+        raise ValueError(f"CIF unknown-value marker {tok!r} where a "
+                         "number is required")
+    m = _NUM_RE.match(tok)
     if not m:
         raise ValueError(f"not a number: {token!r}")
     return float(m.group(0))
@@ -42,25 +53,76 @@ def _unquote(tok: str) -> str:
     return tok
 
 
+def _resolve_element(raw: str) -> Optional[int]:
+    """Atomic number from a type symbol or site label; None to skip the row.
+
+    Handles case-insensitive labels ('NA1' is sodium, not nitrogen — the
+    symbol table is case-sensitive, so 'NA' must capitalize before the
+    single-letter fallback fires), deuterium/tritium labels, and raises a
+    clear error for unmatchable tokens instead of a KeyError.
+    """
+    m = re.match(r"[A-Za-z]{1,2}", raw)
+    if not m:
+        return None
+    tok = m.group(0)
+    for cand in (tok.capitalize(), tok[0].upper()):
+        try:
+            return elements.symbol_to_z(cand)
+        except KeyError:
+            continue
+    if tok[0].upper() in ("D", "T"):  # heavy-hydrogen labels
+        return 1
+    raise ValueError(f"unknown element symbol in atom site: {raw!r}")
+
+
+def _parse_affine(p: str) -> Tuple[np.ndarray, float]:
+    """One symop component like ``-y``, ``x-y`` or ``1/2+z`` ->
+    (coefficients over (x, y, z), constant).
+
+    A real term parser, NOT eval: file-derived text must never reach the
+    interpreter (a crafted component like ``9**9**9**9`` would pass a
+    charset check and hang the process inside eval), and non-affine
+    expressions must error rather than silently linearize.
+    """
+    p = p.replace(" ", "").lower()
+    if not p or not re.fullmatch(r"[xyz0-9+\-*/.]+", p) or "**" in p:
+        raise ValueError(f"bad symop component: {p!r}")
+    coeffs = np.zeros(3)
+    const = 0.0
+    for term in re.findall(r"[+-]?[^+-]+", p):
+        sign = -1.0 if term.startswith("-") else 1.0
+        body = term.lstrip("+-")
+        if not body:
+            raise ValueError(f"bad symop component: {p!r}")
+        var = next((v for v in "xyz" if v in body), None)
+        if var is not None:
+            if sum(body.count(v) for v in "xyz") != 1:
+                raise ValueError(f"non-affine symop component: {p!r}")
+            body = body.replace("*", "").replace(var, "")
+        if body == "":
+            val = 1.0
+        elif "/" in body:
+            num, den = body.split("/", 1)
+            val = (float(num) if num else 1.0) / float(den)
+        else:
+            val = float(body)
+        if var is not None:
+            coeffs["xyz".index(var)] += sign * val
+        else:
+            const += sign * val
+    return coeffs, const
+
+
 def parse_symop(expr: str) -> Tuple[np.ndarray, np.ndarray]:
     """Parse one symmetry operator like ``-y, x-y, z+1/2`` into (R, t) with
     new_frac = frac @ R.T + t."""
-    parts = [p.strip().lower() for p in expr.split(",")]
+    parts = [p.strip() for p in expr.split(",")]
     if len(parts) != 3:
         raise ValueError(f"bad symop: {expr!r}")
     R = np.zeros((3, 3))
     t = np.zeros(3)
-    basis = np.eye(3)
     for i, p in enumerate(parts):
-        if not _SYMOP_ALLOWED.match(p):
-            raise ValueError(f"bad symop component: {p!r}")
-        # Evaluate the affine expression at (0,0,0) for the translation and
-        # at unit vectors for the rotation columns.
-        def ev(x, y, z, _p=p):
-            return eval(_p, {"__builtins__": {}}, {"x": x, "y": y, "z": z})
-        t[i] = ev(0.0, 0.0, 0.0)
-        for j in range(3):
-            R[i, j] = ev(*basis[j]) - t[i]
+        R[i], t[i] = _parse_affine(p)
     return R, t
 
 
@@ -97,8 +159,17 @@ def _collect_loops(lines: List[str]):
                         break
                     i += 1
                     toks.extend(_tokenize_line(nxt))
-                if len(toks) >= len(headers):
-                    rows.append(toks[: len(headers)])
+                # the CIF spec treats loop values as a flat token stream:
+                # one physical line may pack several complete rows (emit
+                # them all), and unquoted values with spaces leave extra
+                # tokens on the row (kept — consumers may re-join them)
+                if len(toks) >= 2 * len(headers):
+                    for r0 in range(0, len(toks) // len(headers)):
+                        rows.append(
+                            toks[r0 * len(headers):(r0 + 1) * len(headers)]
+                        )
+                elif len(toks) >= len(headers):
+                    rows.append(toks)
                 i += 1
             loops.append((headers, rows))
         elif line.startswith("_"):
@@ -106,7 +177,20 @@ def _collect_loops(lines: List[str]):
             key = toks[0].lower()
             if len(toks) > 1:
                 scalars[key] = _unquote(" ".join(toks[1:]))
-            elif i + 1 < n:
+            elif i + 1 < n and lines[i + 1].lstrip().startswith(";"):
+                # semicolon-delimited text field: consume to the closing
+                # ';' (its body lines may start with '_' or 'loop_' and
+                # must not be parsed as tags)
+                i += 2
+                buf = []
+                while i < n and not lines[i].strip().startswith(";"):
+                    buf.append(lines[i])
+                    i += 1
+                scalars[key] = "\n".join(buf)
+            elif i + 1 < n and not (
+                lines[i + 1].strip().startswith(("_", "#"))
+                or lines[i + 1].strip().lower().startswith(("loop_", "data_"))
+            ):
                 scalars[key] = _unquote(lines[i + 1].strip())
                 i += 1
             i += 1
@@ -118,8 +202,17 @@ def _collect_loops(lines: List[str]):
 
 
 def parse_cif(text: str, site_tol: float = 1e-3) -> Structure:
-    """Parse CIF text into a Structure with all symmetry-equivalent sites."""
+    """Parse CIF text into a Structure with all symmetry-equivalent sites.
+
+    Multi-block files use the FIRST ``data_`` block only (the reference's
+    CifParser.get_structures()[0] semantics) — merging blocks would apply
+    one block's symmetry to another's sites.
+    """
     lines = text.splitlines()
+    starts = [k for k, ln in enumerate(lines)
+              if ln.strip().lower().startswith("data_")]
+    if len(starts) >= 2:
+        lines = lines[: starts[1]]
     scalars, loops = _collect_loops(lines)
 
     def cell(tag: str) -> float:
@@ -140,8 +233,40 @@ def parse_cif(text: str, site_tol: float = 1e-3) -> Structure:
                 k for k, h in enumerate(headers)
                 if h.endswith(("equiv_pos_as_xyz", "space_group_symop_operation_xyz"))
             )
-            for row in rows:
-                symops.append(parse_symop(_unquote(row[col])))
+            try:
+                for row in rows:
+                    symops.append(parse_symop(_unquote(row[col])))
+            except ValueError:
+                # Unquoted operators with spaces ('1 x, y, z') tokenize
+                # into fragments (and may have been re-chunked as packed
+                # rows).  Reconstruct from the loop's full token stream:
+                # drop integer id tokens, re-join, split into ops of
+                # exactly three comma-separated components.
+                symops = []
+                text = " ".join(
+                    _unquote(tk) for row in rows for tk in row
+                    if not re.fullmatch(r"\d+", _unquote(tk))
+                )
+                # comma splits components WITHIN an operator; whitespace
+                # separates one operator's last component from the next
+                # operator (no comma between ops) — except when it just
+                # breaks around +-*/ inside a single expression
+                parts: List[str] = []
+                for qpart in text.split(","):
+                    for tk in qpart.split():
+                        if parts and (
+                            parts[-1] and parts[-1][-1] in "+-*/"
+                            or tk in "+-*/" or tk[0] in "*/"
+                        ):
+                            parts[-1] += tk
+                        else:
+                            parts.append(tk)
+                    parts.append("\x00")  # comma boundary marker
+                parts = [q for q in parts if q != "\x00"]
+                if len(parts) % 3:
+                    raise ValueError(f"bad symop loop: {text!r}")
+                for k in range(0, len(parts), 3):
+                    symops.append(parse_symop(", ".join(parts[k:k + 3])))
         if any(h == "_atom_site_fract_x" for h in headers):
             site_loop = (headers, rows)
     if not symops:
@@ -159,32 +284,45 @@ def parse_cif(text: str, site_tol: float = 1e-3) -> Structure:
 
     c_sym = col("_atom_site_type_symbol")
     c_lab = col("_atom_site_label")
+    if c_sym is None and c_lab is None:
+        raise ValueError(
+            "atom-site loop has neither _atom_site_type_symbol nor "
+            "_atom_site_label"
+        )
     c_x, c_y, c_z = (col(f"_atom_site_fract_{ax}") for ax in "xyz")
+    for name, c in zip(("x", "y", "z"), (c_x, c_y, c_z)):
+        if c is None:
+            raise ValueError(f"atom-site loop missing _atom_site_fract_{name}")
     c_occ = col("_atom_site_occupancy")
 
     sites: List[Site] = []
-    positions: List[np.ndarray] = []
+    seen: List[Tuple[int, np.ndarray]] = []  # (z, position)
     for row in rows:
         raw_sym = _unquote(row[c_sym] if c_sym is not None else row[c_lab])
-        sym = re.match(r"[A-Za-z]{1,2}", raw_sym)
-        if not sym:
+        z = _resolve_element(raw_sym)
+        if z is None:
             continue
-        try:
-            z = elements.symbol_to_z(sym.group(0))
-        except KeyError:
-            # Two-letter match may shadow a one-letter element (e.g. "O1")
-            z = elements.symbol_to_z(sym.group(0)[0])
         frac = np.array([_parse_number(row[c]) for c in (c_x, c_y, c_z)])
-        occ = _parse_number(row[c_occ]) if c_occ is not None else 1.0
+        occ = _parse_number(row[c_occ], default=1.0) if c_occ is not None else 1.0
+        # Deduplicate (z, position): symmetry images of the same row
+        # coincide on special positions.  The key includes z so a second
+        # SPECIES co-occupying the same coordinates (disordered CIFs)
+        # is kept — a position-only key silently deleted it.
+        row_new = []
         for R, t in symops:
             new = (frac @ R.T + t) % 1.0
             new[new > 1.0 - site_tol] = 0.0
-            if any(
-                np.linalg.norm(((new - p + 0.5) % 1.0) - 0.5) < site_tol
-                for p in positions
-            ):
-                continue
-            positions.append(new)
+            row_new.append(new)
+        same_z = [p for (pz, p) in seen if pz == z]
+        for new in row_new:
+            if same_z:
+                d = np.linalg.norm(
+                    ((new - np.stack(same_z) + 0.5) % 1.0) - 0.5, axis=1
+                )
+                if float(d.min()) < site_tol:
+                    continue
+            same_z.append(new)
+            seen.append((z, new))
             sites.append(Site(z, new, occ))
     return Structure(lattice, sites)
 

@@ -142,6 +142,70 @@ class TestCif:
         assert coords[0] == pytest.approx([0.25, 0.25, 0.25])
         assert coords[1] == pytest.approx([0.75, 0.75, 0.75])
 
+    def test_symop_power_rejected_not_evaled(self):
+        # would pass a charset check and hang inside eval
+        with pytest.raises(ValueError):
+            parse_symop("9**9**9**9, y, z")
+
+    def test_symop_nonaffine_rejected(self):
+        with pytest.raises(ValueError):
+            parse_symop("x*y, y, z")
+
+    def test_symop_forms(self):
+        R, t = parse_symop("1/2+x, -x+2/3, x/2")
+        assert t == pytest.approx([0.5, 2.0 / 3.0, 0.0])
+        assert R[0] == pytest.approx([1, 0, 0])
+        assert R[1] == pytest.approx([-1, 0, 0])
+        assert R[2] == pytest.approx([0.5, 0, 0])
+
+    def test_uppercase_label_resolves_sodium(self):
+        # 'NA1' must be sodium, not nitrogen (case-sensitive table +
+        # first-letter fallback used to give Z=7)
+        cif = PEROVSKITE_CIF.replace("  Sr  Sr0", "  NA1 Sr0")
+        s = parse_cif(cif)
+        assert 11 in s.atomic_numbers.tolist()
+
+    def test_co_occupied_site_kept(self):
+        # a second species at the same coords (disordered CIF) must not
+        # be dropped by position-only dedup
+        cif = PEROVSKITE_CIF.replace(
+            "  Ti  Ti1  1  0.5  0.5  0.5  1",
+            "  Ti  Ti1  1  0.5  0.5  0.5  0.5\n"
+            "  Zr  Zr1  1  0.5  0.5  0.5  0.5",
+        )
+        s = parse_cif(cif, )
+        zs = sorted(s.atomic_numbers.tolist())
+        assert 22 in zs and 40 in zs
+
+    def test_unknown_occupancy_marker_defaults(self):
+        cif = PEROVSKITE_CIF.replace("  Sr  Sr0  1  0.0  0.0  0.0  1",
+                                     "  Sr  Sr0  1  0.0  0.0  0.0  ?")
+        s = parse_cif(cif)
+        assert len(s) == 5
+
+    def test_unquoted_symop_with_spaces(self):
+        cif = SYMMETRIZED_CIF.replace("  2  '-x, -y, -z'", "  2  -x, -y, -z")
+        s = parse_cif(cif)
+        assert len(s) == 2
+
+    def test_second_data_block_ignored(self):
+        two = PEROVSKITE_CIF + "\ndata_other\n_cell_length_a 9.0\n"
+        s = parse_cif(two)
+        assert len(s) == 5 and s.lattice.a == pytest.approx(3.905)
+
+    def test_semicolon_text_field_skipped(self):
+        cif = PEROVSKITE_CIF.replace(
+            "data_SrTiO3\n",
+            "data_SrTiO3\n_journal_notes\n;\n_cell_length_a 99\nloop_\n;\n",
+        )
+        s = parse_cif(cif)
+        assert s.lattice.a == pytest.approx(3.905)
+
+    def test_missing_fract_column_clear_error(self):
+        cif = PEROVSKITE_CIF.replace(" _atom_site_fract_x\n", "")
+        with pytest.raises(ValueError, match="fract|atom-site"):
+            parse_cif(cif)
+
     def test_roundtrip(self, tmp_path):
         s = parse_cif(PEROVSKITE_CIF)
         text = structure_to_cif(s, name="SrTiO3")
