@@ -13,17 +13,13 @@ from __future__ import annotations
 
 from typing import List, Tuple
 
-import jax
-import jax.numpy as jnp
 import numpy as np
 
-from icsg3d_tpu.config import GridSpec, VoxelizerConfig
+from icsg3d_tpu.config import VoxelizerConfig
 from icsg3d_tpu.crystal import elements
 from icsg3d_tpu.crystal.lattice import Lattice
 from icsg3d_tpu.crystal.structure import Site, Structure
 from icsg3d_tpu.data.store import GridDataset
-from icsg3d_tpu.ops.rotations import AXES_CHOICES
-from icsg3d_tpu.ops.voxelize import coordinate_grids_np, pad_sites, voxelize_batch
 
 # Element pools (atomic numbers) for plausible chemistry.
 A_SITE = [3, 11, 19, 20, 37, 38, 55, 56, 57]           # alkali/alkaline/La
@@ -117,90 +113,17 @@ def build_dataset(
 
     Rotation augmentations are exact 90-degree grid rotations (the
     reference's create_matrices.py:174-207 loop), stored as additional rows
-    with `_rot_k` ids so data_split's grouping applies.
+    with `_rot_k` ids so data_split's grouping applies.  The heavy lifting
+    (padding, chunked device voxelization, augmentation, ground-truth site
+    fields) lives in data/voxel_build.voxelize_structures — shared with the
+    CIF ingest CLI.
     """
+    from icsg3d_tpu.data.voxel_build import voxelize_structures
+
     structures = random_structures(n, seed=seed, kinds=kinds)
-    grid = cfg.grid
-
-    sites_b, z_b, sig_b, mask_b, abc_b = [], [], [], [], []
-    for s in structures:
-        N, z, r = s.site_arrays()
-        cart = s.lattice.cartesian(N)
-        arr = pad_sites(cart, z, r * cfg.sigma_frac, cfg.site_pad)
-        sites_b.append(arr[0]); z_b.append(arr[1]); sig_b.append(arr[2])
-        mask_b.append(arr[3]); abc_b.append(np.array(s.lattice.abc, np.float32))
-
-    # ground-truth site fields for evaluation (z=0 marks padding); the
-    # voxelizer's sigma column is not stored — eval needs positions+species
-    true_sites = np.stack(sites_b)
-    true_z = np.stack(z_b) * np.stack(mask_b)
-
-    # Voxelize in chunks: the (chunk, d^3, site_pad) f32 distance
-    # intermediates are what bound device memory, not the outputs.  Scale
-    # the chunk with grid volume — the old fixed 256 was sized for 32^3
-    # and produced a 17 GB intermediate at 64^3 (larger than TPU HBM; it
-    # also OOM-killed CPU builds of 64^3 datasets).
-    chunk = max(8, int(256 * (32 / grid.d) ** 3))
-    Ms, Ss = [], []
-    for c0 in range(0, n, chunk):
-        sl = slice(c0, c0 + chunk)
-        Mc, Sc = voxelize_batch(
-            jnp.asarray(np.stack(sites_b[sl])),
-            jnp.asarray(np.stack(z_b[sl])),
-            jnp.asarray(np.stack(sig_b[sl])),
-            jnp.asarray(np.stack(mask_b[sl])),
-            jnp.asarray(np.stack(abc_b[sl])),
-            grid,
-            label_frac=cfg.label_frac,
-        )
-        Ms.append(np.asarray(Mc, dtype=np.float32))
-        Ss.append(np.asarray(Sc).astype(np.uint8))
-    M = np.concatenate(Ms)
-    S = np.concatenate(Ss)
-    coords = coordinate_grids_np(np.stack(abc_b), grid)
-
     ids = [f"syn-{i}" for i in range(n)]
-    lattice = np.stack(
-        [np.array(s.lattice.parameters, np.float32) for s in structures]
+    targets = [synthetic_target(s) for s in structures]
+    out_ids, arrays = voxelize_structures(
+        structures, ids, targets, cfg=cfg, n_rot=n_rot, seed=seed,
     )
-    target = np.array([synthetic_target(s) for s in structures], np.float32)
-
-    if n_rot:
-        rng = np.random.default_rng(seed + 1)
-        all_M, all_S, all_C = [M], [S], [coords]
-        all_ids = list(ids)
-        all_lat, all_tgt = [lattice], [target]
-        all_sites, all_z = [true_sites], [true_z]
-        for i in range(n):
-            for r in range(n_rot):
-                m, s_, c = M[i], S[i], coords[i]
-                for axes_i in rng.integers(0, len(AXES_CHOICES), size=3):
-                    ax = AXES_CHOICES[axes_i]
-                    m = np.rot90(m, 1, axes=ax)
-                    s_ = np.rot90(s_, 1, axes=ax)
-                    c = np.rot90(c, 1, axes=ax)
-                all_M.append(m[None]); all_S.append(s_[None]); all_C.append(c[None])
-                all_ids.append(f"{ids[i]}_rot_{r}")
-                all_lat.append(lattice[i][None]); all_tgt.append(target[i][None])
-                # site ground truth is stored in the UNROTATED frame; the
-                # evaluation split uses n_rot=0 (eval.py:130-142 parity)
-                all_sites.append(true_sites[i][None]); all_z.append(true_z[i][None])
-        M = np.concatenate(all_M); S = np.concatenate(all_S)
-        coords = np.concatenate(all_C)
-        lattice = np.concatenate(all_lat); target = np.concatenate(all_tgt)
-        true_sites = np.concatenate(all_sites); true_z = np.concatenate(all_z)
-        ids = all_ids
-
-    return GridDataset.write(
-        path,
-        ids,
-        {
-            "density": M,
-            "coords": coords,
-            "species": S,
-            "lattice": lattice,
-            "target": target,
-            "sites": true_sites.astype(np.float32),
-            "site_z": true_z.astype(np.float32),
-        },
-    )
+    return GridDataset.write(path, out_ids, arrays)
