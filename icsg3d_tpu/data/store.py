@@ -43,12 +43,24 @@ class GridDataset:
         self.path = path
         with open(os.path.join(path, "ids.json")) as f:
             self.ids: List[str] = json.load(f)
+        if len(set(self.ids)) != len(self.ids):
+            raise ValueError(
+                f"dataset {path} has duplicate ids — the index would "
+                "silently collapse duplicates onto the last row"
+            )
         mode = "r" if mmap else None
         self.arrays: Dict[str, np.ndarray] = {}
         for field in FIELDS:
             fp = os.path.join(path, f"{field}.npy")
             if os.path.exists(fp):
-                self.arrays[field] = np.load(fp, mmap_mode=mode)
+                arr = np.load(fp, mmap_mode=mode)
+                if len(arr) != len(self.ids):
+                    raise ValueError(
+                        f"dataset {path}: {field}.npy has {len(arr)} rows "
+                        f"but ids.json lists {len(self.ids)} — stale or "
+                        "partially written field file"
+                    )
+                self.arrays[field] = arr
         self.index = {sid: i for i, sid in enumerate(self.ids)}
 
     def __len__(self) -> int:
@@ -73,12 +85,29 @@ class GridDataset:
     ) -> "GridDataset":
         os.makedirs(path, exist_ok=True)
         n = len(ids)
+        if len(set(ids)) != n:
+            raise ValueError("duplicate sample ids")
+        unknown = set(arrays) - set(FIELDS)
+        if unknown:
+            raise ValueError(
+                f"unknown fields {sorted(unknown)}: __init__ only loads "
+                f"{FIELDS}, so they would silently vanish on reload"
+            )
         for field, arr in arrays.items():
             if len(arr) != n:
                 raise ValueError(f"{field}: {len(arr)} rows != {n} ids")
             np.save(os.path.join(path, f"{field}.npy"), np.asarray(arr))
-        with open(os.path.join(path, "ids.json"), "w") as f:
+        for field in FIELDS:
+            # remove stale files from a previous dataset in the same dir
+            # (a dropped field would otherwise reload with the wrong N)
+            if field not in arrays:
+                fp = os.path.join(path, f"{field}.npy")
+                if os.path.exists(fp):
+                    os.remove(fp)
+        tmp = os.path.join(path, "ids.json.tmp")
+        with open(tmp, "w") as f:
             json.dump(list(ids), f)
+        os.replace(tmp, os.path.join(path, "ids.json"))
         return GridDataset(path)
 
 
@@ -145,28 +174,53 @@ def prefetch_to_device(iterator, size: int = 2, devices=None):
     q: "queue.Queue" = queue.Queue(maxsize=size)
     sentinel = object()
     failure: list = []
+    stop = threading.Event()
 
     def producer():
         try:
             for batch in iterator:
-                q.put(
-                    jax.tree_util.tree_map(
-                        lambda x: jax.device_put(x, devices), batch
-                    )
-                )
+                item = jax.device_put(batch, devices)  # whole-pytree put
+                while not stop.is_set():
+                    try:
+                        q.put(item, timeout=0.2)
+                        break
+                    except queue.Full:
+                        continue
+                if stop.is_set():
+                    return
         except BaseException as e:  # noqa: BLE001 — must reach the consumer
             # without this, a device_put/sharding error killed the thread
             # and the consumer saw a silently TRUNCATED epoch
             failure.append(e)
         finally:
-            q.put(sentinel)
+            # the sentinel MUST eventually land (a dropped sentinel leaves
+            # the consumer blocked in q.get forever once it drains the
+            # staged batches) — keep trying unless the consumer already
+            # cancelled via stop
+            while not stop.is_set():
+                try:
+                    q.put(sentinel, timeout=0.2)
+                    break
+                except queue.Full:
+                    continue
 
     t = threading.Thread(target=producer, daemon=True)
     t.start()
-    while True:
-        item = q.get()
-        if item is sentinel:
-            break
-        yield item
-    if failure:
-        raise failure[0]
+    try:
+        while True:
+            item = q.get()
+            if item is sentinel:
+                break
+            yield item
+        if failure:
+            raise failure[0]
+    finally:
+        # an abandoned consumer (train-step exception, early break) must
+        # not leave the producer blocked in q.put pinning staged device
+        # batches for the rest of the process
+        stop.set()
+        while True:
+            try:
+                q.get_nowait()
+            except queue.Empty:
+                break

@@ -161,6 +161,48 @@ class TestBatchIteratorEpochs:
         ]
         assert orders[0] != orders[1] or orders[1] != orders[2]
 
+    def test_prefetch_slow_consumer_still_gets_sentinel(self):
+        """With the queue full at producer exit, the end-of-stream marker
+        must still arrive (a dropped sentinel left the consumer blocked in
+        q.get forever)."""
+        import time
+
+        from icsg3d_tpu.data.store import prefetch_to_device
+
+        def src():
+            for k in range(4):
+                yield {"x": np.full((2,), k, np.float32)}
+
+        got = []
+        for b in prefetch_to_device(src(), size=1):
+            time.sleep(0.05)  # let the producer fill the queue and finish
+            got.append(int(b["x"][0]))
+        assert got == [0, 1, 2, 3]
+
+    def test_prefetch_abandoned_consumer_unblocks_producer(self):
+        """Breaking out of the consumer (train-step crash) must cancel the
+        producer instead of leaving it blocked in q.put holding device
+        batches."""
+        import time
+
+        from icsg3d_tpu.data.store import prefetch_to_device
+
+        produced = []
+
+        def src():
+            for k in range(100):
+                produced.append(k)
+                yield {"x": np.zeros((2,), np.float32)}
+
+        it = prefetch_to_device(src(), size=1)
+        next(it)
+        it.close()  # what an abandoned for-loop does on GC
+        time.sleep(0.5)
+        n_after = len(produced)
+        time.sleep(0.5)
+        assert len(produced) == n_after  # producer stopped pulling
+        assert n_after <= 5  # and never ran ahead of the staging budget
+
     def test_prefetch_propagates_producer_errors(self):
         """An exception inside the prefetch producer thread must re-raise
         in the consumer, not silently truncate the epoch."""
