@@ -5,6 +5,12 @@ predict one or more properties.  Fixes the reference's pathology of
 reloading + recompiling weights per property per sample
 (cgcnn/utils.py:81-93): weights load once per property, prediction is
 batched over all inputs.
+
+Reproducibility note (reference parity, cgcnn/cgcnn.py:76-98): the
+CGCNN's masked batch-norm recomputes its statistics from the LIVE batch
+at inference — there are no moving averages — so a structure's predicted
+value depends slightly on which other structures share its batch.  Keep
+the batch composition fixed when comparing runs.
 """
 
 from __future__ import annotations

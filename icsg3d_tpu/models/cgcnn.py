@@ -34,6 +34,8 @@ def _masked_batch_stats(x, mask, count_from_values: bool = True):
     mu = sum(x) / count_nonzero(x); var = sum((x-mu)^2 * mask) / denom.
     x is already masked (zeros at padding).
     """
+    x = x.astype(jnp.float32)  # stats in f32 regardless of compute dtype
+    mask = mask.astype(jnp.float32)
     count = jnp.maximum(jnp.count_nonzero(x).astype(jnp.float32), 1.0)
     mu = jnp.sum(x) / count
     diff_sq = jnp.square(x - mu) * mask
@@ -74,11 +76,19 @@ class CrystalGraphConv(nn.Module):
     atom_fea_len: int
     nbr_fea_len: int
     bn_epsilon: float = 1e-5
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, atom_fea, nbr_fea, nbr_idx, atom_mask):
         """atom_fea: (B, N, F); nbr_fea: (B, N, M, Fb); nbr_idx: (B, N, M)
         int; atom_mask: (B, N) float.  Returns (B, N, F)."""
+        if nbr_fea.shape[-1] != self.nbr_fea_len:
+            # validate instead of carrying a dead field: Dense would
+            # silently infer whatever width arrives
+            raise ValueError(
+                f"bond features are {nbr_fea.shape[-1]}-wide, config "
+                f"says {self.nbr_fea_len}"
+            )
         B, N, F = atom_fea.shape
         M = nbr_idx.shape[-1]
 
@@ -89,7 +99,9 @@ class CrystalGraphConv(nn.Module):
         self_fea = jnp.broadcast_to(atom_fea[:, :, None, :], (B, N, M, F))
         total = jnp.concatenate([self_fea, atom_nbr_fea, nbr_fea], axis=-1)
 
-        gated = nn.Dense(2 * self.atom_fea_len, param_dtype=jnp.float32)(total)
+        gated = nn.Dense(
+            2 * self.atom_fea_len, dtype=self.dtype, param_dtype=jnp.float32
+        )(total)
         edge_mask = atom_mask[:, :, None, None]  # padding atoms contribute 0
         gated = gated * edge_mask
 
@@ -132,6 +144,7 @@ class CGCNN(nn.Module):
         Returns (B,) predicted property values.
         """
         cfg = self.cfg
+        dt = jnp.dtype(cfg.dtype)
         spec = GraphSpec(
             max_atoms=cfg.max_atoms,
             max_neighbors=cfg.max_neighbors,
@@ -139,18 +152,27 @@ class CGCNN(nn.Module):
             dmin=cfg.dmin,
             step=cfg.step,
         )
-        nbr_fea = gaussian_expand(nbr_dist, spec)
+        nbr_fea = gaussian_expand(nbr_dist, spec).astype(dt)
 
-        x = nn.Dense(cfg.atom_fea_len, param_dtype=jnp.float32)(atom_fea)
+        x = nn.Dense(
+            cfg.atom_fea_len, dtype=dt, param_dtype=jnp.float32
+        )(atom_fea.astype(dt))
         for _ in range(cfg.n_conv):
             x = CrystalGraphConv(
-                cfg.atom_fea_len, spec.num_bond_features, cfg.bn_epsilon
+                cfg.atom_fea_len, spec.num_bond_features, cfg.bn_epsilon,
+                dtype=dt,
             )(x, nbr_fea, nbr_idx, atom_mask)
 
         # Masked mean pool (cgcnn/cgcnn.py:138): sum over atoms / count of
         # atoms with nonzero feature rows.
         pooled = nn.softplus(masked_mean_pool(x))
 
-        h = nn.softplus(nn.Dense(cfg.hidden_dim, param_dtype=jnp.float32)(pooled))
-        out = nn.Dense(1, param_dtype=jnp.float32)(h)
+        h = nn.softplus(
+            nn.Dense(cfg.hidden_dim, dtype=dt, param_dtype=jnp.float32)(
+                pooled.astype(dt)
+            )
+        )
+        out = nn.Dense(1, dtype=jnp.float32, param_dtype=jnp.float32)(
+            h.astype(jnp.float32)
+        )
         return out[:, 0]
