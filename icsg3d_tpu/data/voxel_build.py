@@ -50,7 +50,13 @@ def voxelize_structures(
         if n == 0 or n > cfg.max_sites or n > cfg.site_pad:
             continue  # skip over-large structures (cgcnn/data.py:161 analog)
         N, z, r = s.site_arrays()
-        cart = s.lattice.cartesian(N)
+        # The voxel grids sample an AXIS-ALIGNED box [-eps*l, (1+eps)*l]
+        # per axis (ops/voxelize.py voxel_centers), so sites map as
+        # frac * abc — the reference's convention (create_matrices.py:
+        # np.multiply(N, lattice_vector[:3])).  True skew-matrix
+        # cartesians would push atoms of non-orthogonal cells (hexagonal
+        # gamma=120 etc.) outside the box and clip their density.
+        cart = N * np.asarray(s.lattice.abc, np.float64)
         arr = pad_sites(cart, z, r * cfg.sigma_frac, cfg.site_pad)
         keep_idx.append(i)
         sites_b.append(arr[0]); z_b.append(arr[1]); sig_b.append(arr[2])

@@ -208,6 +208,28 @@ class TestInterpolate:
 
 
 class TestVoxelizeApp:
+    def test_nonorthogonal_cell_atoms_stay_in_grid(self):
+        """Hexagonal cells: sites map as frac*abc (the reference's
+        axis-aligned box convention) — true skew-matrix cartesians pushed
+        atoms outside the sampled box, clipping their density and species
+        voxels entirely."""
+        from icsg3d_tpu.crystal.lattice import Lattice
+        from icsg3d_tpu.crystal.structure import Site, Structure
+        from icsg3d_tpu.data.voxel_build import voxelize_structures
+
+        lat = Lattice.from_parameters(5.0, 5.0, 5.0, 90.0, 90.0, 120.0)
+        s = Structure(lat, [
+            Site(11, np.array([0.05, 0.95, 0.5])),
+            Site(17, np.array([0.5, 0.5, 0.5])),
+        ])
+        ids, arrays = voxelize_structures(
+            [s], ["hex-0"], [0.0],
+            cfg=VoxelizerConfig(grid=GRID, site_pad=8),
+        )
+        species = np.asarray(arrays["species"][0])
+        present = set(np.unique(species).tolist())
+        assert 11 in present and 17 in present, present
+
     def test_dotted_target_column(self, tmp_path):
         """MP sub-document columns ("elasticity.K_Voigt_Reuss_Hill") pass
         through the CSV target plumbing verbatim (query schema parity)."""
