@@ -1,8 +1,15 @@
-"""Loss functions, numerically matching the reference's Keras losses.
+"""Loss functions matching the reference's Keras losses.
 
-All losses take float32 logits/targets and reduce per-sample first, then
-mean over the batch, so data-parallel gradient averaging over a mesh is a
-plain psum/mean regardless of per-device batch size.
+All losses take float32 logits/targets and reduce per-sample first, so
+data-parallel gradient averaging over a mesh is a plain psum/mean
+regardless of per-device batch size.
+
+One documented numerical deviation: binary_crossentropy_from_logits uses
+the stable log-sum-exp form instead of Keras's clipped-probability BCE,
+so at saturation (|logit| > ~16) the per-element loss keeps growing with
+a live gradient where Keras plateaus at ~16.1 with zero gradient — the
+stable form is strictly better-behaved; everything else matches Keras
+numerics including the epsilon clipping.
 """
 
 from __future__ import annotations
@@ -32,6 +39,14 @@ def weighted_categorical_crossentropy_from_labels(logits, labels, class_weights)
     contraction collapses to a gather of the true class's log-prob and
     weight, so the (B, d^3, C) one-hot never exists.  Same clipping/mean
     semantics; returns (B,)."""
+    if jnp.shape(class_weights)[0] != logits.shape[-1]:
+        # the gather below CLAMPS out-of-range indices under jit, so a
+        # mis-sized weights vector would silently train with wrong
+        # weights (the one-hot form raises a broadcast error instead)
+        raise ValueError(
+            f"class_weights has {jnp.shape(class_weights)[0]} entries for "
+            f"{logits.shape[-1]} classes"
+        )
     probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
     probs = jnp.clip(probs, KERAS_EPSILON, 1.0 - KERAS_EPSILON)
     p_true = jnp.take_along_axis(probs, labels[..., None], axis=-1)[..., 0]
@@ -83,6 +98,12 @@ def perceptual_feature_loss(feats_true, feats_pred, weights):
     Reference: LatticeDFCVAE.perceptual_loss (vae/lattice_vae.py:257-270).
     feats_*: sequences of (B, ...) activations.  Returns (B,).
     """
+    if not (len(feats_true) == len(feats_pred) == len(weights)):
+        # zip would silently truncate, dropping taps from the loss
+        raise ValueError(
+            f"{len(feats_true)}/{len(feats_pred)} feature taps vs "
+            f"{len(weights)} weights"
+        )
     total = 0.0
     for h1, h2, w in zip(feats_true, feats_pred, weights):
         h1 = h1.astype(jnp.float32).reshape(h1.shape[0], -1)
@@ -92,17 +113,15 @@ def perceptual_feature_loss(feats_true, feats_pred, weights):
 
 
 def mse_loss(preds, targets):
-    """Plain scalar MSE (CGCNN regression, train_cgcnn.py:89)."""
-    return jnp.mean(
-        (preds.astype(jnp.float32).ravel() - targets.astype(jnp.float32).ravel())
-        ** 2
-    )
+    """Scalar MSE (CGCNN regression, train_cgcnn.py:89): per-sample mean
+    first, then batch mean — identical for equal-size samples, and
+    batch-size-agnostic under DP like the rest of the module."""
+    p = preds.astype(jnp.float32).reshape(preds.shape[0], -1)
+    t = targets.astype(jnp.float32).reshape(preds.shape[0], -1)
+    return jnp.mean(jnp.mean((p - t) ** 2, axis=-1))
 
 
 def mae(preds, targets):
-    return jnp.mean(
-        jnp.abs(
-            preds.astype(jnp.float32).ravel()
-            - targets.astype(jnp.float32).ravel()
-        )
-    )
+    p = preds.astype(jnp.float32).reshape(preds.shape[0], -1)
+    t = targets.astype(jnp.float32).reshape(preds.shape[0], -1)
+    return jnp.mean(jnp.mean(jnp.abs(p - t), axis=-1))
