@@ -92,17 +92,32 @@ class Structure:
 
     @property
     def composition(self) -> Counter:
-        return Counter(s.symbol for s in self.sites)
+        """Per-symbol atom counts, occupancy-weighted (pymatgen's
+        Composition semantics): an unordered Na0.7/K0.3 site contributes
+        fractionally, so the formula agrees with the per-site occupancy
+        column structure_to_cif writes.  Ordered structures (occupancy 1)
+        give plain integer counts."""
+        comp: Counter = Counter()
+        for site in self.sites:
+            comp[site.symbol] += site.occupancy
+        return Counter(
+            {k: int(v) if abs(v - round(v)) < 1e-6 else v
+             for k, v in comp.items()}
+        )
 
     @property
     def formula(self) -> str:
         comp = self.composition
-        return " ".join(f"{sym}{comp[sym]}" for sym in sorted(comp))
+        return " ".join(f"{sym}{comp[sym]:g}" for sym in sorted(comp))
 
     @property
     def reduced_formula(self) -> str:
         comp = self.composition
-        counts = np.array(list(comp.values()), dtype=int)
+        vals = list(comp.values())
+        if any(not isinstance(v, int) for v in vals):
+            # fractional (unordered) compositions have no integer gcd
+            return self.formula.replace(" ", "")
+        counts = np.array(vals, dtype=int)
         g = int(np.gcd.reduce(counts)) if len(counts) else 1
         return "".join(
             f"{sym}{comp[sym] // g if comp[sym] // g > 1 else ''}"
@@ -112,6 +127,8 @@ class Structure:
     def anonymized_formula(self) -> str:
         comp = self.composition
         counts = sorted(comp.values())
+        if any(not isinstance(v, int) for v in counts):
+            counts = [max(1, int(round(v))) for v in counts]
         g = int(np.gcd.reduce(np.array(counts))) if counts else 1
         letters = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
         parts = []
@@ -121,41 +138,61 @@ class Structure:
         return "".join(parts)
 
     def average_electronegativity(self) -> float:
-        vals = [
-            elements.ELECTRONEGATIVITY[s.z]
-            for s in self.sites
-            if not np.isnan(elements.ELECTRONEGATIVITY[s.z])
-        ]
-        return float(np.mean(vals)) if vals else float("nan")
+        return elements.average_electronegativity(self.atomic_numbers)
 
     # -- geometry / validity -------------------------------------------------
+
+    def _image_scan(self, cart: np.ndarray, n: np.ndarray) -> float:
+        best = np.inf
+        mat = self.lattice.matrix
+        for i in range(-n[0], n[0] + 1):
+            for j in range(-n[1], n[1] + 1):
+                for k in range(-n[2], n[2] + 1):
+                    other = cart + np.array([i, j, k], float) @ mat
+                    d = np.linalg.norm(
+                        cart[:, None, :] - other[None, :, :], axis=-1
+                    )
+                    if i == j == k == 0:
+                        np.fill_diagonal(d, np.inf)
+                    best = min(best, float(d.min()))
+        return best
 
     def min_interatomic_distance(self) -> float:
         """Minimum pairwise distance including periodic images.
 
         A single-site structure is NOT a special case: its minimum distance
         is the distance to its own periodic images (the shortest lattice
-        translation), which the shift loop below computes.
+        translation).  A first +-1-image scan gives an upper bound d0;
+        highly skewed / non-reduced cells can hide a closer image beyond
+        +-1, so the scan widens to ceil(d0 / h_i) images per axis (h_i =
+        the cell's perpendicular heights), capped at 4 per axis.
         """
         if len(self.sites) == 0:
             return np.inf
         frac = self.frac_coords % 1.0
-        shifts = np.array(
-            [(i, j, k) for i in (-1, 0, 1) for j in (-1, 0, 1) for k in (-1, 0, 1)]
-        )
         cart = self.lattice.cartesian(frac)
-        best = np.inf
-        for shift in shifts:
-            other = self.lattice.cartesian(frac + shift)
-            d = np.linalg.norm(cart[:, None, :] - other[None, :, :], axis=-1)
-            if (shift == 0).all():
-                np.fill_diagonal(d, np.inf)
-            best = min(best, float(d.min()) if d.size else np.inf)
-        return best
+        ones = np.ones(3, int)
+        d0 = self._image_scan(cart, ones)
+        mat = self.lattice.matrix
+        heights = np.abs(self.lattice.volume) / np.array([
+            np.linalg.norm(np.cross(mat[1], mat[2])),
+            np.linalg.norm(np.cross(mat[2], mat[0])),
+            np.linalg.norm(np.cross(mat[0], mat[1])),
+        ])
+        n = np.minimum(np.ceil(d0 / heights).astype(int), 4)
+        if (n <= 1).all():
+            return d0
+        return self._image_scan(cart, np.maximum(n, 1))
 
     def is_valid(self, tol: float = 0.5) -> bool:
-        """True when all interatomic distances exceed ``tol`` Angstrom —
-        pymatgen's Structure.is_valid contract (used at generate.py:262)."""
+        """True when all interatomic distances exceed ``tol`` Angstrom.
+
+        Based on pymatgen's Structure.is_valid (generate.py:262), with two
+        deliberate differences: a single-site structure is judged by its
+        shortest lattice translation (pymatgen returns True
+        unconditionally), and self-image distances count for every site —
+        both stricter, never looser.
+        """
         if len(self.sites) == 0:
             return False
         return self.min_interatomic_distance() > tol
@@ -169,13 +206,25 @@ class Structure:
 
         The reference applied pymatgen's OrderDisorderedStructureTransformation
         (utils.py:148-157); this is a simpler deterministic stand-in, flagged
-        as a documented divergence for partially-occupied CIFs.
+        as a documented divergence for partially-occupied CIFs.  Sites that
+        CO-OCCUPY one position (same coordinates within 1e-3, e.g. a
+        Na0.5/K0.5 split site) collapse to the single highest-occupancy
+        species — keeping both produced coincident atoms that double-
+        deposit density and always fail is_valid.
         """
-        kept = [
-            Site(s.z, s.frac_coords, 1.0)
-            for s in self.sites
-            if s.occupancy >= min_occupancy
-        ]
+        # group co-occupying sites by wrapped position
+        groups: dict = {}
+        for idx, site in enumerate(self.sites):
+            key = tuple(np.round(site.frac_coords % 1.0, 3))
+            groups.setdefault(key, []).append(idx)
+        kept = []
+        for key in sorted(groups):
+            members = groups[key]
+            # highest occupancy wins; ties break on site order
+            winner = max(members, key=lambda i: (self.sites[i].occupancy, -i))
+            w = self.sites[winner]
+            if w.occupancy >= min_occupancy:
+                kept.append(Site(w.z, w.frac_coords.copy(), 1.0))
         return Structure(self.lattice, kept)
 
     def __repr__(self):
