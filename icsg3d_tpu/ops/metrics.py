@@ -52,6 +52,13 @@ def f1_score(y_true, y_pred):
 
 
 def _p_true(labels, probs):
+    """Probability of each voxel's true class.
+
+    NOTE: the gather CLAMPS out-of-range labels under jit (a label >=
+    num_classes silently counts the last class's probability where the
+    one-hot form counts zero) — callers must pre-clip labels to the
+    class range, as prepare_unet_batch does.
+    """
     return jnp.take_along_axis(probs, labels[..., None], axis=-1)[..., 0]
 
 
@@ -75,6 +82,12 @@ def precision_from_labels(labels, probs):
 
 
 def f1_score_from_labels(labels, probs):
-    p = precision_from_labels(labels, probs)
-    r = recall_from_labels(labels, probs)
+    # shared tp: going through precision_/recall_from_labels would run
+    # the gather/round/sum chain twice (and, eager over the tunnel, leak
+    # twice the intermediates)
+    tp = jnp.sum(jnp.round(_p_true(labels, probs)))
+    predicted = jnp.sum(jnp.round(jnp.clip(probs, 0.0, 1.0)))
+    possible = jnp.asarray(labels.size, jnp.float32)
+    p = tp / (predicted + KERAS_EPSILON)
+    r = tp / (possible + KERAS_EPSILON)
     return 2.0 * p * r / (p + r + KERAS_EPSILON)
