@@ -8,12 +8,12 @@ from __future__ import annotations
 
 import argparse
 import os
-import jax
+
 import jax.numpy as jnp
 import numpy as np
 
 from icsg3d_tpu.apps import common
-from icsg3d_tpu.config import GridSpec, VAEConfig
+from icsg3d_tpu.config import GridSpec
 from icsg3d_tpu.data.binning import bin_and_encode
 from icsg3d_tpu.data.store import GridDataset
 
@@ -29,7 +29,9 @@ def interpolate_latents(
 ) -> np.ndarray:
     """Decode a linear path between the posterior means of two samples.
 
-    Returns (n_interps, d, d, d, C) decoded grids (interpolate.py:47-64).
+    Returns (n_interps + 2, d, d, d, C): the RAW endpoint grids a/b frame
+    the decoded steps, matching the reference's [a, interps..., b] strip
+    (interpolate.py:49,60-62) and this file's sweep mode.
     """
     encode = common.jit_vae_encode(vae_model, vae_vars)
     decode = common.jit_vae_decode(vae_model, vae_vars)
@@ -41,8 +43,10 @@ def interpolate_latents(
     ts = np.linspace(0.0, 1.0, n_interps)[:, None].astype(np.float32)
     zs = (1.0 - ts) * z_a + ts * z_b
     conds = (1.0 - ts) * cond_a[None] + ts * cond_b[None]
-    out = decode(jnp.asarray(zs), jnp.asarray(conds.astype(np.float32)))
-    return np.asarray(out)
+    out = np.asarray(
+        decode(jnp.asarray(zs), jnp.asarray(conds.astype(np.float32)))
+    )
+    return np.concatenate([x_a[None], out, x_b[None]], axis=0)
 
 
 def interpolate_sweep(
@@ -77,14 +81,10 @@ def interpolate_sweep(
             continue
         ia, ib = rng.choice(members, 2, replace=False)
         cond = np.eye(n_bins, dtype=np.float32)[b]
-        x = np.stack(
-            [
-                common.grid_input(
-                    np.asarray(dataset.arrays["density"][i])[None],
-                    np.asarray(dataset.arrays["coords"][i])[None],
-                )[0]
-                for i in (ia, ib)
-            ]
+        sel = np.array([ia, ib])
+        x = common.grid_input(
+            np.asarray(dataset.arrays["density"][sel]),
+            np.asarray(dataset.arrays["coords"][sel]),
         )
         z, _ = encode(jnp.asarray(x), jnp.asarray(np.stack([cond, cond])))
         z_a, z_b = np.asarray(z)
@@ -97,6 +97,21 @@ def interpolate_sweep(
         rows.append(np.concatenate([x[:1], mids, x[1:]], axis=0))
         row_meta.append({"bin": b, "a": str(ids[ia]), "b": str(ids[ib])})
     return rows, row_meta
+
+
+def _save_voxel_row(grids, path):
+    """Row of exploded 3D voxel renders (interpolate.py:174-202 3D mode)."""
+    import matplotlib.pyplot as plt
+
+    from icsg3d_tpu import viz
+
+    n = len(grids)
+    fig = plt.figure(figsize=(2.5 * n, 2.5))
+    for i, g in enumerate(grids):
+        ax = fig.add_subplot(1, n, i + 1, projection="3d")
+        viz.plot_voxels_3d(np.asarray(g), resample_d=12, ax=ax)
+    fig.savefig(path, dpi=120)
+    plt.close(fig)
 
 
 def main(argv=None):
@@ -113,7 +128,8 @@ def main(argv=None):
     )
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--ninterps", type=int, default=10)
-    p.add_argument("--d", type=int, default=32)
+    p.add_argument("--d", type=int, default=None,
+                   help="grid resolution; default: read from the dataset")
     p.add_argument("--cond-bins", type=int, default=10)
     common.add_vae_flags(p)
     p.add_argument("--output", default="output/interpolation")
@@ -124,8 +140,9 @@ def main(argv=None):
     )
     args = p.parse_args(argv)
 
-    grid = GridSpec(d=args.d)
     ds = GridDataset(args.data)
+    args.d = common.resolve_grid_d(args.d, ds)
+    grid = GridSpec(d=args.d)
     bin_idx, conds, _ = bin_and_encode(
         np.asarray(ds.arrays["target"]), args.cond_bins
     )
@@ -147,6 +164,11 @@ def main(argv=None):
             viz.plot_interpolation(
                 row, os.path.join(args.output, f"interpolation_bin{b}.png")
             )
+            if args.voxels:
+                _save_voxel_row(
+                    row,
+                    os.path.join(args.output, f"interpolation_bin{b}_3d.png"),
+                )
         import json
 
         with open(os.path.join(args.output, "sweep.json"), "w") as f:
@@ -181,16 +203,10 @@ def main(argv=None):
         grids, os.path.join(args.output, "interpolation.png")
     )
     if args.voxels:
-        import matplotlib.pyplot as plt
-
-        n = len(grids)
-        fig = plt.figure(figsize=(2.5 * n, 2.5))
-        for i, g in enumerate(grids):
-            ax = fig.add_subplot(1, n, i + 1, projection="3d")
-            viz.plot_voxels_3d(np.asarray(g), resample_d=12, ax=ax)
-        fig.savefig(os.path.join(args.output, "interpolation_3d.png"), dpi=120)
-        plt.close(fig)
-    print(f"wrote {args.ninterps} interpolation steps -> {args.output}")
+        _save_voxel_row(
+            grids, os.path.join(args.output, "interpolation_3d.png")
+        )
+    print(f"wrote {args.ninterps}+2 interpolation frames -> {args.output}")
 
 
 if __name__ == "__main__":

@@ -165,7 +165,11 @@ class TestInterpolate:
         grids = interpolate_latents(
             vae_model, vae_vars, x_a, conds[0], x_b, conds[1], n_interps=5
         )
-        assert grids.shape == (5, 8, 8, 8, 4)
+        # n_interps decoded steps framed by the RAW endpoints (reference
+        # strip layout [a, interps..., b] — same contract as the sweep)
+        assert grids.shape == (7, 8, 8, 8, 4)
+        assert np.allclose(grids[0], x_a, atol=1e-6)
+        assert np.allclose(grids[-1], x_b, atol=1e-6)
         assert np.isfinite(grids).all()
 
     def test_sweep_conds_parity(self, dataset):
