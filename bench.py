@@ -17,6 +17,7 @@ defaults).  The reference repo publishes no numbers (BASELINE.md), so
 from __future__ import annotations
 
 import json
+import sys
 import time
 
 import jax
@@ -25,13 +26,9 @@ import numpy as np
 
 NORTH_STAR_GRIDS_PER_SEC_PER_CHIP = 10_000 * 250 / 600 / 8  # 520.8
 
-# Peak bf16 matmul throughput per chip, for MFU.
-PEAK_FLOPS = {
-    "v5e": 197e12,
-    "v5p": 459e12,
-    "v4": 275e12,
-    "v6e": 918e12,
-}
+# Peak bf16 matmul throughput per chip, for MFU (single source:
+# utils/profiling.py, re-exported here so bench stays a standalone file).
+from icsg3d_tpu.utils.profiling import PEAK_FLOPS  # noqa: E402
 
 
 def main():
@@ -107,11 +104,10 @@ def main():
 
     gen = os.environ.get("PALLAS_AXON_TPU_GEN", "v5e")
     peak = PEAK_FLOPS.get(gen, PEAK_FLOPS["v5e"])
-    mfu = (
-        flops_per_step * steps_per_sec / (peak * n_chips)
-        if flops_per_step
-        else None
-    )
+    # cost_analysis() reports the compiled (per-device, under GSPMD)
+    # module's FLOPs, so per-chip MFU divides by ONE chip's peak —
+    # dividing by peak * n_chips double-counted the partitioning
+    mfu = flops_per_step * steps_per_sec / peak if flops_per_step else None
 
     # Secondary headline metric: end-to-end generation throughput through
     # the fused decode -> segment -> extract -> coordinates program
@@ -129,14 +125,23 @@ def main():
                 {"params": ustate.params, "batch_stats": ustate.batch_stats},
                 pipe, max_atoms=64,
             )
-            z = jnp.asarray(
-                rng.normal(size=(batch_size, vae.cfg.latent_dim)).astype(
-                    np.float32
-                )
+            zc = shard_batch(
+                {
+                    "z": rng.normal(
+                        size=(batch_size, vae.cfg.latent_dim)
+                    ).astype(np.float32),
+                    "cond": np.eye(10, dtype=np.float32)[
+                        rng.integers(0, 10, batch_size)
+                    ],
+                },
+                mesh,
             )
-            cond = jnp.asarray(
-                np.eye(10, dtype=np.float32)[rng.integers(0, 10, batch_size)]
-            )
+            z, cond = zc["z"], zc["cond"]
+            # warm up ONE FULL chained iteration: the chain's eager ops
+            # (sum/mul/add) compile too, and a cold cache would otherwise
+            # pay those compiles inside the timed region
+            out = gen_step(z, cond)
+            z = z + 1e-30 * jnp.sum(out[2])
             out = gen_step(z, cond)
             jax.device_get(out[0].ravel()[0])
             # chain each iteration on the previous output: independent
@@ -150,7 +155,9 @@ def main():
                 z = z + 1e-30 * jnp.sum(out[2])
             jax.device_get(out[0].ravel()[0])
             gen_rate = batch_size * 10 / (time.perf_counter() - t0) / n_chips
-        except Exception:
+        except Exception as e:
+            print(f"bench: generation section failed: {e!r}",
+                  file=sys.stderr)
             gen_rate = None
 
     # Tertiary metrics: U-Net and CGCNN training throughput (the other two
@@ -181,7 +188,8 @@ def main():
                 ustate2, umets = ustep(ustate2, ubatch)
             jax.device_get(umets["loss"])
             unet_rate = batch_size * 10 / (time.perf_counter() - t0) / n_chips
-        except Exception:
+        except Exception as e:
+            print(f"bench: U-Net section failed: {e!r}", file=sys.stderr)
             unet_rate = None
         try:
             from icsg3d_tpu.config import CGCNNConfig
@@ -200,7 +208,7 @@ def main():
             cbatch = shard_batch(
                 {
                     "atom_fea": rng.random(
-                        (cbs, ccfg.max_atoms, 93)
+                        (cbs, ccfg.max_atoms, ccfg.atom_input_dim)
                     ).astype(np.float32),
                     "nbr_dist": rng.uniform(
                         1, 8, (cbs, ccfg.max_atoms, ccfg.max_neighbors)
@@ -225,7 +233,8 @@ def main():
                 cstate2, cmets = cstep(cstate2, cbatch)
             jax.device_get(cmets["loss"])
             cgcnn_rate = cbs * 10 / (time.perf_counter() - t0) / n_chips
-        except Exception:
+        except Exception as e:
+            print(f"bench: CGCNN section failed: {e!r}", file=sys.stderr)
             cgcnn_rate = None
 
     print(

@@ -199,9 +199,11 @@ class StepTimer:
             / self.n_devices,
         }
         if self.flops_per_step:
+            # flops_per_step from cost_analysis() is the compiled module's
+            # count — per-device under GSPMD partitioning — so per-chip
+            # MFU divides by ONE chip's peak (dividing by peak * n_devices
+            # double-counted the partitioning on multichip meshes)
             out["mfu"] = (
-                self.flops_per_step
-                * steps_per_sec
-                / (self.peak_flops * self.n_devices)
+                self.flops_per_step * steps_per_sec / self.peak_flops
             )
         return out
