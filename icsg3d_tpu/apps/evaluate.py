@@ -219,6 +219,9 @@ def main(argv=None):
     p.add_argument("--cond-bins", type=int, default=10)
     common.add_vae_flags(p)
     p.add_argument("--samples", type=int, default=None)
+    p.add_argument("--split-frac", type=float, default=0.8,
+                   help="MUST match the training run's --split-frac, or "
+                        "the 'validation' set overlaps the train split")
     p.add_argument("--output", default=None)
     p.add_argument("--plots", default=None,
                    help="directory for error histograms and parity plots "
@@ -231,7 +234,9 @@ def main(argv=None):
     pipe = PipelineConfig(grid=grid, cond_bins=args.cond_bins)
     _, conds, _ = bin_and_encode(np.asarray(ds.arrays["target"]), args.cond_bins)
     # validation split without rotations (eval.py:130-142)
-    _, val_ids = data_split(ds.ids, n=args.samples, n_rot=0)
+    _, val_ids = data_split(
+        ds.ids, n=args.samples, frac=args.split_frac, n_rot=0
+    )
     conds_val = conds[[ds.index[sid] for sid in val_ids]]
 
     vae_model, vae_vars = common.load_vae(

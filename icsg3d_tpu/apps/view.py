@@ -113,7 +113,11 @@ def main(argv=None):
     p.add_argument("--vae-ckpt", required=True)
     p.add_argument("--unet-ckpt", required=True)
     p.add_argument("--n", type=int, default=5)
-    p.add_argument("--d", type=int, default=32)
+    p.add_argument("--split-frac", type=float, default=0.8,
+                   help="MUST match the training run's --split-frac, or "
+                        "the 'validation' samples overlap the train split")
+    p.add_argument("--d", type=int, default=None,
+                   help="grid resolution; default: read from the dataset")
     p.add_argument("--num-classes", type=int, default=95)
     p.add_argument("--cond-bins", type=int, default=10)
     common.add_vae_flags(p)
@@ -124,11 +128,12 @@ def main(argv=None):
     )
     args = p.parse_args(argv)
 
+    ds = GridDataset(args.data)
+    args.d = common.resolve_grid_d(args.d, ds)
     grid = GridSpec(d=args.d)
     pipe = PipelineConfig(grid=grid)
-    ds = GridDataset(args.data)
     _, conds, _ = bin_and_encode(np.asarray(ds.arrays["target"]), args.cond_bins)
-    _, val_ids = data_split(ds.ids, n_rot=0)
+    _, val_ids = data_split(ds.ids, frac=args.split_frac, n_rot=0)
 
     vae_model, vae_vars = common.load_vae(
         common.vae_config_from_args(args, grid), args.vae_ckpt

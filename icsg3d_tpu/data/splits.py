@@ -14,6 +14,7 @@ leaks into training.  Two reference bugs are fixed here:
 from __future__ import annotations
 
 import random
+import warnings
 from typing import List, Optional, Sequence, Tuple
 
 
@@ -46,7 +47,23 @@ def data_split(
     Returns (training_ids, validation_ids), each parent followed by its
     rotations (utils.py:52-59 ordering).
     """
-    parents = sorted({i for i in ids if not is_rotation(i)})[:n]
+    if not 0.0 < frac <= 1.0:
+        raise ValueError(f"frac must be in (0, 1], got {frac}")
+    all_parents = sorted({i for i in ids if not is_rotation(i)})
+    # rotations whose parent id is absent would vanish from BOTH splits
+    # (they are re-derived from parents below) — that is silent data loss,
+    # e.g. an ingested file literally named "ABC_rot_x.cif"
+    parent_set = set(all_parents)
+    orphans = [
+        i for i in ids if is_rotation(i) and parent_id(i) not in parent_set
+    ]
+    if orphans:
+        warnings.warn(
+            f"data_split: {len(orphans)} sample(s) look like rotations of "
+            f"absent parents and are excluded (e.g. {orphans[0]!r})",
+            stacklevel=2,
+        )
+    parents = all_parents[:n]
     if shuffle:
         rng = random.Random(seed)
         rng.shuffle(parents)
@@ -54,20 +71,29 @@ def data_split(
     train_parents, val_parents = parents[:cut], parents[cut:]
 
     available = set(ids)
+    missing_rot = 0
 
     def expand(plist: List[str]) -> List[str]:
+        nonlocal missing_rot
         out: List[str] = []
         for p in plist:
             out.append(p)
+            # rotations are derived names; include only those the dataset
+            # actually contains
             for rid in rotation_ids(p, n_rot):
-                if rid in available or n_rot == 0:
+                if rid in available:
                     out.append(rid)
-                elif rid not in available:
-                    # Rotations are derived names; include them only when the
-                    # dataset actually contains them.
-                    continue
+                else:
+                    missing_rot += 1
         return out
 
     train, val = expand(train_parents), expand(val_parents)
+    if n_rot > 0 and missing_rot:
+        warnings.warn(
+            f"data_split: {missing_rot} of the requested rotation ids are "
+            f"not in the dataset (built with a smaller n_rot?) — training "
+            "proceeds with fewer samples than n_rot implies",
+            stacklevel=2,
+        )
     assert not set(train) & set(val)
     return train, val
