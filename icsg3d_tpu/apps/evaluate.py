@@ -157,8 +157,15 @@ def evaluate_reconstructions(
             l_pred_all.append(np.asarray(l_pred[i], np.float64))
 
     dlattice = np.asarray(dlattice) if dlattice else np.zeros((0, 3))
+    # an EMD is NaN when exactly one of the atom sets is empty (the
+    # reference's 0/0); count those separately instead of poisoning the
+    # mean
+    finite_emds = [e for e in emds if np.isfinite(e)]
     return {
-        "mean_emd": float(np.mean(emds)) if emds else float("nan"),
+        "mean_emd": (
+            float(np.mean(finite_emds)) if finite_emds else float("nan")
+        ),
+        "n_emd_undefined": len(emds) - len(finite_emds),
         "mean_datoms": float(np.mean(datoms)) if datoms else float("nan"),
         "mean_dlattice": (
             dlattice.mean(axis=0).tolist() if len(dlattice) else [float("nan")] * 3
@@ -255,8 +262,8 @@ def main(argv=None):
     )
     summary = {
         k: v for k, v in results.items()
-        if k in ("mean_emd", "mean_datoms", "mean_dlattice",
-                 "n_evaluated", "n_skipped", "first_error")
+        if k in ("mean_emd", "mean_datoms", "mean_dlattice", "n_evaluated",
+                 "n_emd_undefined", "n_skipped", "first_error")
     }
     # sanitize stdout too: NaN means (zero evaluated samples) would print
     # non-standard JSON tokens that break `... | jq` consumers

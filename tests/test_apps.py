@@ -78,16 +78,30 @@ class TestEMD:
         b = np.array([[3.0, 4, 0]])
         assert earth_movers_distance(a, b) == pytest.approx(5.0)
 
-    def test_unequal_sizes_padded(self):
+    def test_unequal_sizes_reference_semantics(self):
+        # reference eval.py:45-53: rectangular assignment (min-pairs
+        # matched), cost / min(len) — NO zero padding.  The closest pair
+        # matches at cost 0; divided by min=1 -> 0.0
         a = np.array([[1.0, 0, 0]])
         b = np.array([[1.0, 0, 0], [0, 2, 0]])
-        # unmatched true atom pairs against the zero pad -> distance 2
-        assert earth_movers_distance(a, b) == pytest.approx(1.0)
+        assert earth_movers_distance(a, b) == pytest.approx(0.0)
+        # and a genuinely offset pair still scores its distance
+        c = np.array([[0.0, 2, 0]])
+        assert earth_movers_distance(c, b) == pytest.approx(0.0)
+        d = np.array([[4.0, 2, 0]])
+        # nearest pair is [1,0,0] at sqrt(9+4)
+        assert earth_movers_distance(d, b) == pytest.approx(np.sqrt(13.0))
 
-    def test_empty_pred(self):
-        assert np.isfinite(
+    def test_empty_pred_is_nan(self):
+        # the reference's 0/0; evaluate counts these as n_emd_undefined
+        assert np.isnan(
             earth_movers_distance(np.zeros((0, 3)), np.array([[1.0, 1, 1]]))
         )
+        assert earth_movers_distance(np.zeros((0, 3)), np.zeros((0, 3))) == 0.0
+
+    def test_dim_mismatch_rejected(self):
+        with pytest.raises(ValueError, match="dims"):
+            earth_movers_distance(np.ones((2, 3)), np.ones((2, 1)))
 
 
 class TestGenerate:
