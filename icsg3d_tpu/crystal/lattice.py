@@ -76,6 +76,15 @@ class Lattice:
     def volume(self) -> float:
         return float(abs(np.linalg.det(self.matrix)))
 
+    def plane_spacings(self) -> np.ndarray:
+        """Perpendicular distance between lattice planes along each axis:
+        1 / |column_i of inv(M)| (the reciprocal-vector norms) — equal to
+        volume / face_area_i.  The quantity every periodic-image scan
+        sizes its shift range with; one owner so the two formulas cannot
+        drift."""
+        inv = np.linalg.inv(self.matrix)
+        return 1.0 / np.linalg.norm(inv, axis=0)
+
     def cartesian(self, frac_coords) -> np.ndarray:
         return np.asarray(frac_coords, dtype=float) @ self.matrix
 

@@ -14,15 +14,12 @@ import numpy as np
 from icsg3d_tpu.crystal.structure import Structure
 
 
-def _image_range(lattice_matrix: np.ndarray, radius: float) -> np.ndarray:
-    """How many periodic images per axis are needed to cover ``radius``.
-
-    Uses the perpendicular distance between lattice planes: the spacing along
-    axis i is 1/|row_i of inv(M)| (the reciprocal-vector norm).
-    """
-    inv = np.linalg.inv(lattice_matrix)
-    spacing = 1.0 / np.linalg.norm(inv, axis=0)  # distance between planes
-    return np.maximum(np.ceil(radius / spacing).astype(int), 1)
+def _image_range(lattice, radius: float) -> np.ndarray:
+    """How many periodic images per axis are needed to cover ``radius``
+    (perpendicular plane spacings from Lattice.plane_spacings)."""
+    return np.maximum(
+        np.ceil(radius / lattice.plane_spacings()).astype(int), 1
+    )
 
 
 def neighbor_list(
@@ -33,7 +30,10 @@ def neighbor_list(
     Returns, per site, a list of (distance, neighbor_site_index) sorted by
     distance — the fields the graph featurizer consumes (cgcnn/data.py:192-208
     sorts pymatgen neighbor tuples by distance and keeps x[1]=distance,
-    x[2]=index).
+    x[2]=index).  Ties at equal distance break by image-major flat index
+    (stable argsort) — which neighbors survive a downstream max_neighbors
+    truncation can differ from pymatgen's tie order on high-symmetry
+    shells; a documented fidelity caveat, not an error.
     """
     n = len(structure)
     if n == 0:
@@ -42,7 +42,7 @@ def neighbor_list(
     frac = structure.frac_coords % 1.0
     cart = frac @ M
 
-    na, nb, nc = _image_range(M, radius)
+    na, nb, nc = _image_range(structure.lattice, radius)
     shifts = np.array(
         [
             (i, j, k)
@@ -62,7 +62,7 @@ def neighbor_list(
     for i in range(n):
         d = np.linalg.norm(flat - cart[i], axis=1)
         keep = (d <= radius) & ~((d < 1e-8) & is_central & (idx == i))
-        order = np.argsort(d[keep], kind="stable")
-        dk, ik = d[keep][order], idx[keep][order]
-        out.append(list(zip(dk.tolist(), ik.tolist())))
+        dk, ik = d[keep], idx[keep]
+        order = np.argsort(dk, kind="stable")
+        out.append(list(zip(dk[order].tolist(), ik[order].tolist())))
     return out

@@ -173,12 +173,7 @@ class Structure:
         cart = self.lattice.cartesian(frac)
         ones = np.ones(3, int)
         d0 = self._image_scan(cart, ones)
-        mat = self.lattice.matrix
-        heights = np.abs(self.lattice.volume) / np.array([
-            np.linalg.norm(np.cross(mat[1], mat[2])),
-            np.linalg.norm(np.cross(mat[2], mat[0])),
-            np.linalg.norm(np.cross(mat[0], mat[1])),
-        ])
+        heights = self.lattice.plane_spacings()
         n = np.minimum(np.ceil(d0 / heights).astype(int), 4)
         if (n <= 1).all():
             return d0
