@@ -17,7 +17,9 @@ from __future__ import annotations
 
 import argparse
 import csv
+import json
 import os
+import re
 import sys
 
 # The reference's full 13-field schema (query_matproj.py:38-51).  MPRester
@@ -41,24 +43,43 @@ PROPERTIES = [
 ]
 
 
-def build_criteria(anonymous_formula=None, system=None):
-    """Safe parse of the query criteria.
+def _anon_formula_dict(spec: str):
+    """'ABC3' or '{"A":1,"B":1,"C":3}' -> the dict form MP stores.
 
-    The reference ``eval``-ed the user's --anonymous_formula string
-    (query_matproj.py:37, e.g. '{"A":1,"B":1,"C":3}'); here it is parsed as
-    JSON.
+    MP's anonymous_formula field is a DICT ({'A': 1.0, 'B': 1.0,
+    'C': 3.0}); a raw string criterion would exact-match nothing and
+    silently return zero structures (the reference eval'd a dict
+    literal, query_matproj.py:37).
     """
-    import json
+    spec = spec.strip()
+    if spec.startswith("{"):
+        try:
+            return {k: float(v) for k, v in json.loads(spec).items()}
+        except (json.JSONDecodeError, AttributeError, ValueError) as e:
+            raise SystemExit(f"--anonymous-formula: bad JSON dict: {e}")
+    out = {}
+    for m in re.finditer(r"([A-Z])(\d*)", spec):
+        out[m.group(1)] = float(m.group(2) or 1)
+    if not out or "".join(
+        f"{k}{'' if v == 1 else int(v)}" for k, v in sorted(out.items())
+    ) != spec:
+        raise SystemExit(
+            f"--anonymous-formula: cannot parse {spec!r} (use letters A-Z "
+            "with optional counts, e.g. ABC3, or a JSON dict)"
+        )
+    return out
 
+
+def build_criteria(anonymous_formula=None, system=None):
+    """Safe parse of the query criteria (the reference ``eval``-ed the
+    user's string, query_matproj.py:37)."""
     criteria = {}
     if anonymous_formula:
-        criteria["anonymous_formula"] = (
-            json.loads(anonymous_formula)
-            if anonymous_formula.strip().startswith("{")
-            else anonymous_formula
-        )
+        criteria["anonymous_formula"] = _anon_formula_dict(anonymous_formula)
     if system:
-        criteria["chemsys"] = system
+        # MP stores chemsys with alphabetically sorted elements
+        # ('Fe-Li-O'); an unsorted exact match returns nothing
+        criteria["chemsys"] = "-".join(sorted(system.split("-")))
     return criteria
 
 
@@ -70,7 +91,14 @@ def write_docs(docs, name, out="data") -> int:
     os.makedirs(cif_dir, exist_ok=True)
     rows = []
     for doc in docs:
-        task_id = doc["task_id"]
+        if not isinstance(doc, dict) or "task_id" not in doc:
+            raise SystemExit(
+                "dump entries must be MPRester-style dicts with a "
+                f"task_id; got {type(doc).__name__}"
+            )
+        # ids come from an untrusted dump: never let a crafted
+        # '../../...' id write outside the cifs directory
+        task_id = os.path.basename(str(doc["task_id"]))
         if doc.get("cif"):
             with open(os.path.join(cif_dir, f"{task_id}.cif"), "w") as f:
                 f.write(doc["cif"])
@@ -88,10 +116,19 @@ def run_query(
     from_json=None,
 ):
     if from_json:
-        import json
-
-        with open(from_json) as f:
-            docs = json.load(f)
+        try:
+            with open(from_json) as f:
+                docs = json.load(f)
+        except FileNotFoundError:
+            print(f"--from-json: no such file: {from_json}", file=sys.stderr)
+            return 1
+        except json.JSONDecodeError as e:
+            print(f"--from-json: malformed JSON: {e}", file=sys.stderr)
+            return 1
+        if not isinstance(docs, list):
+            print("--from-json: expected a LIST of MPRester docs",
+                  file=sys.stderr)
+            return 1
         return write_docs(docs, name, out)
 
     try:
@@ -111,6 +148,12 @@ def run_query(
     criteria = build_criteria(anonymous_formula, system)
     with MPRester(api_key) as mpr:
         docs = mpr.query(criteria=criteria, properties=PROPERTIES)
+    # save the raw dump like the reference (query_matproj.py:60-62) — it
+    # is the exact input --from-json replays, so an expensive rate-
+    # limited query never needs re-running
+    os.makedirs(os.path.join(out, name), exist_ok=True)
+    with open(os.path.join(out, name, f"{name}.json"), "w") as f:
+        json.dump(docs, f)
     return write_docs(docs, name, out)
 
 
@@ -130,6 +173,9 @@ def main(argv=None):
     args = p.parse_args(argv)
     if not args.key and not args.from_json:
         p.error("need --key (network query) or --from-json (offline dump)")
+    if args.from_json and (args.anonymous_formula or args.system):
+        p.error("--from-json replays the dump unfiltered; drop "
+                "--anonymous-formula/--system (filter when querying)")
     sys.exit(
         run_query(
             args.key, args.name, args.anonymous_formula, args.system,
