@@ -32,7 +32,7 @@ def plot_slices(
         sl = np.take(g, i, axis=axis)
         ax.imshow(sl)
         ax.set_xticks([]); ax.set_yticks([])
-        ax.set_title(f"z={i}", fontsize=8)
+        ax.set_title(f"{'xyz'[axis]}={i}", fontsize=8)
     fig.tight_layout()
     fig.savefig(path, dpi=120)
     plt.close(fig)
@@ -43,6 +43,10 @@ def plot_real_vs_pred(
 ):
     """Side-by-side center slices, one row per sample (viz.py:69-105)."""
     real, pred = np.asarray(real), np.asarray(pred)
+    if real.ndim != pred.ndim:
+        raise ValueError(
+            f"real/pred rank mismatch: {real.shape} vs {pred.shape}"
+        )
     if real.ndim == 4:
         real, pred = real[None], pred[None]
     n = len(real)
@@ -63,6 +67,9 @@ def plot_interpolation(grids: np.ndarray, path: str, channel: int = 0):
     """One row of center slices across interpolation steps
     (interpolate.py:174-202)."""
     grids = np.asarray(grids)
+    if grids.ndim == 4:  # channel-less stack, like plot_slices accepts
+        grids = grids[..., None]
+        channel = 0
     n = len(grids)
     k = grids.shape[3] // 2
     fig, axes = plt.subplots(1, n, figsize=(2 * n, 2))
@@ -130,8 +137,13 @@ def plot_voxels_3d(
         ax = fig.add_subplot(projection="3d")
     ax.voxels(x, y, z, filled, facecolors=colors, alpha=alpha)
     ax.set_xticks([]); ax.set_yticks([]); ax.set_zticks([])
-    if own_fig and path is not None:
+    if path is not None:
+        # honor path regardless of who owns the figure (a caller-supplied
+        # ax with a path used to silently write nothing)
         ax.figure.savefig(path, dpi=120)
+    if own_fig:
+        # close even without a path: an unsaved own figure stayed
+        # registered in pyplot forever (leaks across sample loops)
         plt.close(ax.figure)
     return ax
 
@@ -168,7 +180,9 @@ def save_slice_animation(
 
     grids = [np.asarray(g) for g in ((m,) if s is None else (m, s))]
     grids = [g[..., 0] if g.ndim == 4 else g for g in grids]
-    d = grids[0].shape[axis]
+    # min across panels: a shorter second grid used to IndexError
+    # mid-save once the writer passed its extent
+    d = min(g.shape[axis] for g in grids)
     fig, axes = plt.subplots(1, len(grids), figsize=(4 * len(grids), 4))
     axes = np.atleast_1d(axes)
     ims = []
@@ -187,6 +201,21 @@ def save_slice_animation(
     plt.close(fig)
 
 
+def _tsne_embed(z: np.ndarray, seed: int) -> np.ndarray:
+    """2D t-SNE with a perplexity valid for ANY sample count (sklearn
+    requires perplexity < n_samples; tiny demo sets crashed)."""
+    from sklearn.manifold import TSNE
+
+    n = len(z)
+    if n < 3:
+        # too few points for t-SNE; a trivial spread keeps callers working
+        return np.column_stack([np.arange(n, dtype=float), np.zeros(n)])
+    perplexity = min(30.0, max(2.0, n / 4), (n - 1) / 1.001)
+    return TSNE(
+        n_components=2, random_state=seed, perplexity=perplexity
+    ).fit_transform(z)
+
+
 def plot_tsne_thumbnails(
     z: np.ndarray,
     images: np.ndarray,
@@ -197,19 +226,19 @@ def plot_tsne_thumbnails(
     """t-SNE of latents with grid-slice thumbnails at each point
     (reference viz.py:158-181 imscatter/tsne_latent)."""
     from matplotlib.offsetbox import AnnotationBbox, OffsetImage
-    from sklearn.manifold import TSNE
 
     z = np.asarray(z)
-    emb = TSNE(
-        n_components=2, random_state=seed,
-        perplexity=min(30.0, max(2.0, len(z) / 4)),
-    ).fit_transform(z)
+    emb = _tsne_embed(z, seed)
     fig, ax = plt.subplots(figsize=(8, 8))
     for (x0, y0), img in zip(emb, images):
         img = np.asarray(img)
         if img.ndim == 4:  # (d,d,d,C) grid -> center slice of channel 0
             img = img[:, :, img.shape[2] // 2, 0]
-        elif img.ndim == 3 and img.shape[-1] not in (3, 4):
+        elif img.ndim == 3 and not (
+            img.shape[-1] in (3, 4) and img.shape[-1] != img.shape[0]
+        ):
+            # a volume, not an RGB(A) image: a (d,d,3)-deep slice stack
+            # used to render as garbage RGB
             img = img[:, :, img.shape[2] // 2]
         ab = AnnotationBbox(
             OffsetImage(img, zoom=zoom), (x0, y0), xycoords="data", frameon=True
@@ -222,16 +251,31 @@ def plot_tsne_thumbnails(
 
 
 def plot_points_3d(labels: np.ndarray, path: str):
-    """3D scatter of nonzero voxels colored by label (viz.py:207-233)."""
+    """3D scatter of nonzero voxels, one legend entry per species
+    (viz.py:207-233 scatters per unique label with a legend)."""
+    from icsg3d_tpu.crystal import elements
+
     labels = np.asarray(labels)
-    idx = np.argwhere(labels != 0)
     fig = plt.figure(figsize=(5, 5))
     ax = fig.add_subplot(projection="3d")
-    if len(idx):
-        vals = labels[idx[:, 0], idx[:, 1], idx[:, 2]]
-        ax.scatter(idx[:, 0], idx[:, 1], idx[:, 2], c=vals, cmap="tab20", s=6)
-    for lim in (ax.set_xlim, ax.set_ylim, ax.set_zlim):
-        lim(0, labels.shape[0])
+    uniques = np.unique(labels[labels != 0])
+    cmap = plt.get_cmap("tab20")
+    for j, u in enumerate(uniques):
+        idx = np.argwhere(labels == u)
+        try:
+            name = elements.z_to_symbol(int(u))
+        except Exception:
+            name = str(int(u))
+        ax.scatter(
+            idx[:, 0], idx[:, 1], idx[:, 2],
+            color=cmap(j % 20), s=6, label=name,
+        )
+    if len(uniques):
+        ax.legend(loc="upper right", fontsize=7)
+    # per-axis limits: one shared shape[0] drew non-cubic grids wrong
+    ax.set_xlim(0, labels.shape[0])
+    ax.set_ylim(0, labels.shape[1])
+    ax.set_zlim(0, labels.shape[2])
     fig.savefig(path, dpi=120)
     plt.close(fig)
 
@@ -269,13 +313,8 @@ def plot_latent_kde(z: np.ndarray, path: str, max_dims: int = 64):
 
 def plot_latent_tsne(z: np.ndarray, path: str, colors=None, seed: int = 0):
     """2D t-SNE of latent vectors (viz.py:158-181)."""
-    from sklearn.manifold import TSNE
-
     z = np.asarray(z)
-    emb = TSNE(
-        n_components=2, random_state=seed,
-        perplexity=min(30.0, max(2.0, len(z) / 4)),
-    ).fit_transform(z)
+    emb = _tsne_embed(z, seed)
     fig, ax = plt.subplots()
     ax.scatter(emb[:, 0], emb[:, 1], c=colors, cmap="viridis", s=8)
     fig.savefig(path, dpi=120)
