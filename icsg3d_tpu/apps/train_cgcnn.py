@@ -117,10 +117,13 @@ def main(argv=None):
     cut = int(args.split_frac * n)
     train_idx, val_idx = order[:cut], order[cut:]
 
-    def batches(idx, shuffle=False):
+    def batches(idx, shuffle=False, seed_offset=0):
         # persistent rng: each epoch (each gen() iteration) draws a new
-        # permutation instead of replaying the split order forever
-        brng = np.random.default_rng(args.seed + 1)
+        # permutation instead of replaying the split order forever.
+        # seed_offset folds in resume progress — chunked --resume runs in
+        # fresh processes would otherwise replay the same permutation
+        # sequence every chunk
+        brng = np.random.default_rng(args.seed + 1 + seed_offset)
 
         def gen():
             order = brng.permutation(len(idx)) if shuffle else np.arange(len(idx))
@@ -130,6 +133,14 @@ def main(argv=None):
 
         return gen
 
+    from icsg3d_tpu.parallel import make_mesh
+
+    n_data = make_mesh().shape["data"]
+    if args.batch_size % n_data:
+        p.error(
+            f"--batch-size {args.batch_size} must be divisible by the "
+            f"data mesh axis ({n_data} devices)"
+        )
     tc = TrainConfig(batch_size=args.batch_size, learning_rate=args.lr)
     _ck = common.checkpoint_if_exists(
         args.ckpt if args.resume else None, "latest"
@@ -142,7 +153,9 @@ def main(argv=None):
         state = _ck.restore(state, "latest")
         print(f"resumed from {args.ckpt}/latest at step {int(state.step)}")
     state, history = train_cgcnn(
-        model, state, batches(train_idx, shuffle=True), batches(val_idx),
+        model, state,
+        batches(train_idx, shuffle=True, seed_offset=int(state.step)),
+        batches(val_idx),
         epochs=args.epochs, checkpoint_dir=args.ckpt,
         latest_every=args.ckpt_every,
     )
@@ -150,8 +163,11 @@ def main(argv=None):
 
     with open(os.path.join(args.ckpt, "history.json"), "w") as f:
         _json.dump(history, f, indent=1)
-    print(f"done; best val MAE "
-          f"{min(h['val']['mae'] for h in history):.4f} -> {args.ckpt}")
+    if history:
+        print(f"done; best val MAE "
+              f"{min(h['val']['mae'] for h in history):.4f} -> {args.ckpt}")
+    else:
+        print(f"done; 0 epochs ran -> {args.ckpt}")
 
 
 if __name__ == "__main__":

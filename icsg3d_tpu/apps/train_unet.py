@@ -124,7 +124,9 @@ def main(argv=None):
 
     state, history = train_unet(
         model, state,
-        batches(train_ids, True, args.seed),
+        # fold resume progress into the shuffle seed: chunked --resume
+        # runs would otherwise replay the same permutation sequence
+        batches(train_ids, True, args.seed + int(state.step)),
         batches(val_ids, False, 0),
         epochs=args.epochs,
         class_weights=class_weights,
@@ -146,8 +148,11 @@ def main(argv=None):
 
     with open(os.path.join(args.ckpt, "history.json"), "w") as f:
         _json.dump(history, f, indent=1)
-    print(f"done; best val loss "
-          f"{min(h['val']['loss'] for h in history):.4f} -> {args.ckpt}")
+    if history:
+        print(f"done; best val loss "
+              f"{min(h['val']['loss'] for h in history):.4f} -> {args.ckpt}")
+    else:
+        print(f"done; 0 epochs ran -> {args.ckpt}")
 
 
 if __name__ == "__main__":

@@ -7,7 +7,7 @@ best-val-MAE checkpointing.
 from __future__ import annotations
 
 import time
-from typing import Iterable, Optional, Tuple
+from typing import Callable, Iterable, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -68,17 +68,14 @@ def make_cgcnn_steps(model: CGCNN):
     return jax.jit(train_step, donate_argnums=(0,)), jax.jit(eval_step)
 
 
-def _mean_metrics(history):
-    if not history:
-        return {}
-    return {k: float(np.mean([h[k] for h in history])) for k in history[0]}
+from icsg3d_tpu.train.common import mean_metrics as _mean_metrics
 
 
 def train_cgcnn(
     model: CGCNN,
     state: ModelState,
-    train_batches: Iterable,
-    val_batches: Iterable,
+    train_batches: Callable[[], Iterable],
+    val_batches: Callable[[], Iterable],
     epochs: int,
     checkpoint_dir: Optional[str] = None,
     mesh=None,
@@ -101,7 +98,20 @@ def train_cgcnn(
             for b in prefetch_to_device(val_batches(), devices=sharding)
         ]
         tm = _mean_metrics([jax.device_get(m) for m in train_mets])
-        vm = _mean_metrics([jax.device_get(m) for m in val_mets]) or tm
+        if not tm:
+            raise ValueError(
+                "no train batches: the train split is smaller than the "
+                "batch size (remainders are dropped)"
+            )
+        vm = _mean_metrics([jax.device_get(m) for m in val_mets])
+        if not vm:
+            if epoch == 0:
+                log_fn(
+                    "warning: no val batches (val split smaller than the "
+                    "batch size) — 'val' metrics below are TRAIN metrics "
+                    "and best-checkpoint selection is overfitting-blind"
+                )
+            vm = tm
         history.append({"train": tm, "val": vm, "time": time.time() - t0})
         log_fn(
             f"epoch {epoch}: time {history[-1]['time']:.2f}s "

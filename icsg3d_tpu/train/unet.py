@@ -14,7 +14,7 @@ unweighted.
 from __future__ import annotations
 
 import time
-from typing import Dict, Iterable, Optional, Tuple
+from typing import Callable, Dict, Iterable, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -158,10 +158,7 @@ def prepare_unet_batch(
     }
 
 
-def _mean_metrics(history):
-    if not history:
-        return {}
-    return {k: float(np.mean([h[k] for h in history])) for k in history[0]}
+from icsg3d_tpu.train.common import mean_metrics as _mean_metrics
 
 
 def _save_best_plots(model, state, batch, plot_dir: str):
@@ -192,8 +189,8 @@ def _save_best_plots(model, state, batch, plot_dir: str):
 def train_unet(
     model: UNet3D,
     state: ModelState,
-    train_batches: Iterable,
-    val_batches: Iterable,
+    train_batches: Callable[[], Iterable],
+    val_batches: Callable[[], Iterable],
     epochs: int,
     class_weights=None,
     checkpoint_dir: Optional[str] = None,
@@ -233,7 +230,15 @@ def train_unet(
                 "no train batches: the train split is smaller than the "
                 "batch size (remainders are dropped)"
             )
-        vm = _mean_metrics([jax.device_get(m) for m in val_mets]) or tm
+        vm = _mean_metrics([jax.device_get(m) for m in val_mets])
+        if not vm:
+            if epoch == 0:
+                log_fn(
+                    "warning: no val batches (val split smaller than the "
+                    "batch size) — 'val' metrics below are TRAIN metrics "
+                    "and best-checkpoint selection is overfitting-blind"
+                )
+            vm = tm
         history.append({"train": tm, "val": vm, "time": time.time() - t0})
         log_fn(
             f"epoch {epoch}: time {history[-1]['time']:.2f}s "

@@ -221,10 +221,7 @@ def prepare_vae_batch(
     }
 
 
-def _mean_metrics(history):
-    if not history:
-        return {}
-    return {k: float(np.mean([h[k] for h in history])) for k in history[0]}
+from icsg3d_tpu.train.common import mean_metrics as _mean_metrics
 
 
 def _save_best_plots(model, state, batch, plot_dir: str, epoch: int):
@@ -310,7 +307,15 @@ def train_vae(
                 "no train batches: the train split is smaller than the "
                 "batch size (remainders are dropped, vae/data.py:45 parity)"
             )
-        vm = _mean_metrics([jax.device_get(m) for m in val_mets]) or tm
+        vm = _mean_metrics([jax.device_get(m) for m in val_mets])
+        if not vm:
+            if epoch == 0:
+                log_fn(
+                    "warning: no val batches (val split smaller than the "
+                    "batch size) — 'val' metrics below are TRAIN metrics "
+                    "and best-checkpoint selection is overfitting-blind"
+                )
+            vm = tm
         epoch_time = time.time() - t0
         n_steps = len(train_mets)
         history.append({"train": tm, "val": vm, "time": epoch_time,
