@@ -30,13 +30,30 @@ def make_mesh(
     mesh-based unconditionally — no separate single-chip branch.
     """
     devices = list(devices if devices is not None else jax.devices())
+    if n_spatial < 1:
+        raise ValueError(f"n_spatial must be >= 1, got {n_spatial}")
     if n_data == -1:
         n_data = len(devices) // n_spatial
-    if n_data * n_spatial > len(devices):
+    if n_data < 1 or n_data * n_spatial > len(devices):
+        # n_data can reach 0 via the -1 sentinel when n_spatial exceeds
+        # the device count — an empty 0 x n mesh must not build silently
         raise ValueError(
-            f"mesh {n_data}x{n_spatial} needs {n_data * n_spatial} devices, "
-            f"have {len(devices)}"
+            f"mesh {n_data}x{n_spatial} needs {max(n_data, 1) * n_spatial} "
+            f"devices, have {len(devices)}"
         )
+    if len({d.platform for d in devices}) == 1 and devices[0].platform == "tpu":
+        # topology-aware layout on real slices: a naive reshape can put
+        # non-ICI-adjacent chips next to each other on the spatial axis,
+        # taxing every halo exchange
+        try:
+            from jax.experimental import mesh_utils
+
+            grid = mesh_utils.create_device_mesh(
+                (n_data, n_spatial), devices=devices[: n_data * n_spatial]
+            )
+            return Mesh(grid, (DATA_AXIS, SPATIAL_AXIS))
+        except Exception:
+            pass  # fall back to enumeration order
     grid = np.array(devices[: n_data * n_spatial]).reshape(n_data, n_spatial)
     return Mesh(grid, (DATA_AXIS, SPATIAL_AXIS))
 
@@ -46,6 +63,9 @@ def batch_sharding(mesh: Mesh, spatial_dim: Optional[int] = None) -> NamedShardi
     one spatial dim over spatial."""
     if spatial_dim is None:
         return NamedSharding(mesh, P(DATA_AXIS))
+    if spatial_dim < 1:
+        # spatial_dim=0 would silently build the same spec as 1
+        raise ValueError(f"spatial_dim must be >= 1, got {spatial_dim}")
     spec = [DATA_AXIS] + [None] * (spatial_dim - 1) + [SPATIAL_AXIS]
     return NamedSharding(mesh, P(*spec))
 
@@ -55,8 +75,16 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch, mesh: Mesh):
-    """Device-put a pytree of host arrays with batch-axis sharding."""
+    """Device-put a pytree of host arrays with batch-axis sharding.
+
+    Rank-0 leaves (a loss weight, a schedule scalar) replicate — P("data")
+    needs rank >= 1 and used to abort the whole placement.
+    """
     sharding = batch_sharding(mesh)
+    rep = replicated(mesh)
     return jax.tree_util.tree_map(
-        lambda x: jax.device_put(x, sharding), batch
+        lambda x: jax.device_put(
+            x, rep if np.ndim(x) == 0 else sharding
+        ),
+        batch,
     )
