@@ -212,6 +212,7 @@ def main():
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "output", "ns10k", "ndcs_step.json",
     )
+    os.makedirs(os.path.dirname(out), exist_ok=True)
     with open(out, "w") as f:
         json.dump(results, f, indent=1)
     print("wrote", out)
