@@ -326,19 +326,31 @@ def _dw_kernel(x_hbm, g_ref, out_ref, vpad_ref, sems, *, dblk, D, W, valid):
             [vpad_ref[j + dd] for dd in range(3)], axis=0
         )
         g = g_ref[0, j]
-        g9 = jnp.zeros((9 * Cout, SP), g.dtype)
+        # Build the 9 tap-shifted lane windows with lane ROTATES of an
+        # offset-0 buffer.  Mosaic has no lowering for the lane-offset
+        # write a dynamic_update_slice into g9 would need, and refuses to
+        # concatenate the lane-offset layouts an unaligned read slice
+        # produces ("result/input offset mismatch on non-concat dim") —
+        # pltpu.roll keeps every block at offset 0, so the sublane concat
+        # and the single big MXU contraction survive.  gm sits at lane
+        # _APRON of the SP buffer; tap (dh,dw) needs it at off, a rotate
+        # by delta = (dh-1)*W + (dw-1); |delta| <= W+1 <= _APRON keeps the
+        # rotate's wraparound inside the zero aprons.
+        zero1 = jnp.zeros((Cout, _APRON), g.dtype)
+        gsp_by_dw = []
+        for dw in range(3):
+            gm = g
+            if dw == 0:
+                gm = jnp.where(first_col, jnp.zeros_like(g), g)
+            elif dw == 2:
+                gm = jnp.where(last_col, jnp.zeros_like(g), g)
+            gsp_by_dw.append(jnp.concatenate([zero1, gm, zero1], axis=1))
+        blocks = []
         for dh in range(3):
             for dw in range(3):
-                tap = dh * 3 + dw
-                off = _APRON + (dh - 1) * W + (dw - 1)
-                gm = g
-                if dw == 0:
-                    gm = jnp.where(first_col, jnp.zeros_like(g), g)
-                elif dw == 2:
-                    gm = jnp.where(last_col, jnp.zeros_like(g), g)
-                g9 = jax.lax.dynamic_update_slice(
-                    g9, gm, (tap * Cout, off)
-                )
+                delta = (dh - 1) * W + (dw - 1)
+                blocks.append(pltpu.roll(gsp_by_dw[dw], delta % SP, axis=1))
+        g9 = jnp.concatenate(blocks, axis=0)
         acc = acc + jax.lax.dot_general(
             g9, x3, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,

@@ -178,12 +178,24 @@ def bench_generate(layout: str, d: int = 32, bs: int = 128, n: int = 10):
     }
 
 
+LAYOUTS = tuple(
+    os.environ.get("NDCS_BENCH_LAYOUTS", "ndhwc,ndcs").split(",")
+)
+
+
 def main():
     which = os.environ.get("NDCS_BENCH_CONFIGS", "32,64").split(",")
     results = {"platform": jax.devices()[0].platform}
+    prior = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "output", "ns10k", "ndcs_step.json",
+    )
+    if os.path.exists(prior):  # merge partial runs (layout/config filters)
+        with open(prior) as f:
+            results.update(json.load(f))
     for key in which:
         d, bs = CONFIGS[key.strip()]
-        for layout in ("ndhwc", "ndcs"):
+        for layout in LAYOUTS:
             try:
                 r = bench_config(d, bs, layout)
             except Exception as e:  # record, keep going
@@ -191,7 +203,7 @@ def main():
             results[f"d{d}_{layout}"] = r
             print(json.dumps(r), flush=True)
     if os.environ.get("NDCS_BENCH_UNET", "1") == "1":
-        for layout in ("ndhwc", "ndcs"):
+        for layout in LAYOUTS:
             try:
                 r = bench_unet(32, 128, layout)
             except Exception as e:
@@ -199,7 +211,7 @@ def main():
             results[f"unet32_{layout}"] = r
             print(json.dumps(r), flush=True)
     if os.environ.get("NDCS_BENCH_GEN", "1") == "1":
-        for layout in ("ndhwc", "ndcs"):
+        for layout in LAYOUTS:
             try:
                 r = bench_generate(layout)
             except Exception as e:
