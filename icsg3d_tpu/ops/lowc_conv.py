@@ -336,7 +336,10 @@ def _dw_kernel(x_hbm, g_ref, out_ref, vpad_ref, sems, *, dblk, D, W, valid):
         # _APRON of the SP buffer; tap (dh,dw) needs it at off, a rotate
         # by delta = (dh-1)*W + (dw-1); |delta| <= W+1 <= _APRON keeps the
         # rotate's wraparound inside the zero aprons.
-        zero1 = jnp.zeros((Cout, _APRON), g.dtype)
+        # Mosaic's rotate only handles 32-bit lanes — widen to f32 for
+        # the roll (exact for bf16 values) and narrow back for the
+        # bf16 MXU contraction.
+        zero1 = jnp.zeros((Cout, _APRON), jnp.float32)
         gsp_by_dw = []
         for dw in range(3):
             gm = g
@@ -344,12 +347,17 @@ def _dw_kernel(x_hbm, g_ref, out_ref, vpad_ref, sems, *, dblk, D, W, valid):
                 gm = jnp.where(first_col, jnp.zeros_like(g), g)
             elif dw == 2:
                 gm = jnp.where(last_col, jnp.zeros_like(g), g)
-            gsp_by_dw.append(jnp.concatenate([zero1, gm, zero1], axis=1))
+            gsp_by_dw.append(
+                jnp.concatenate([zero1, gm.astype(jnp.float32), zero1], axis=1)
+            )
         blocks = []
         for dh in range(3):
             for dw in range(3):
                 delta = (dh - 1) * W + (dw - 1)
-                blocks.append(pltpu.roll(gsp_by_dw[dw], delta % SP, axis=1))
+                blocks.append(
+                    pltpu.roll(gsp_by_dw[dw], delta % SP, axis=1)
+                    .astype(g.dtype)
+                )
         g9 = jnp.concatenate(blocks, axis=0)
         acc = acc + jax.lax.dot_general(
             g9, x3, (((1,), (1,)), ((), ())),
