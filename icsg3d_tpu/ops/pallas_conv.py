@@ -101,7 +101,19 @@ def conv3d_bn_relu_pallas(x, w, scale, shift, interpret: bool = False):
 
     Returns (B, D, H, W, Cout) in x.dtype.  SAME padding, stride 1.
     interpret=True runs the Pallas interpreter (CPU correctness tests).
+
+    Compiled mode requires C % 128 == 0: x stays in HBM and each plane is
+    DMA'd on demand, and Mosaic only slices HBM along a 128-aligned minor
+    dim.  This kernel serves the C >= 128 conv shapes it was measured on
+    (tools/pallas_conv_bench.py); the low-channel shapes belong to
+    ops/lowc_conv.py, whose spatial-major layout exists precisely because
+    this alignment rule makes NDHWC slices with C < 128 uncopyable.
     """
+    if not interpret and x.shape[-1] % 128:
+        raise ValueError(
+            f"C={x.shape[-1]} must be a multiple of 128 for the TPU kernel "
+            "(HBM slice alignment); use ops/lowc_conv.py for small channels"
+        )
     B, D, H, W, C = x.shape
     Cout = w.shape[-1]
     w27 = w.reshape(27, C, Cout).astype(x.dtype)
