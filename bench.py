@@ -136,25 +136,14 @@ def main():
                 },
                 mesh,
             )
-            z, cond = zc["z"], zc["cond"]
-            # warm up ONE FULL chained iteration: the chain's eager ops
-            # (sum/mul/add) compile too, and a cold cache would otherwise
-            # pay those compiles inside the timed region
-            out = gen_step(z, cond)
-            z = z + 1e-30 * jnp.sum(out[2])
-            out = gen_step(z, cond)
-            jax.device_get(out[0].ravel()[0])
-            # chain each iteration on the previous output: independent
-            # repeated calls measured impossibly fast over the tunneled
-            # device (async dispatch artifact — round 1's 571 samples/s
-            # was this), while a data dependency forces every call onto
-            # the critical path
-            t0 = time.perf_counter()
-            for _ in range(10):
-                out = gen_step(z, cond)
-                z = z + 1e-30 * jnp.sum(out[2])
-            jax.device_get(out[0].ravel()[0])
-            gen_rate = batch_size * 10 / (time.perf_counter() - t0) / n_chips
+            # one shared harness (utils/profiling.generation_rate) for the
+            # generation headline: chained iterations + host-fetch barrier,
+            # with a full chained-iteration warmup — see its docstring for
+            # the round-2 2.2x two-harness discrepancy it resolves
+            from icsg3d_tpu.utils.profiling import generation_rate
+
+            gr = generation_rate(gen_step, zc["z"], zc["cond"], iters=10)
+            gen_rate = gr["samples_per_sec"] / n_chips
         except Exception as e:
             print(f"bench: generation section failed: {e!r}",
                   file=sys.stderr)

@@ -1,5 +1,4 @@
-"""On-device atom extraction: same-species connected components + segment
-reductions, fully jit/vmap-compatible with fixed shapes.
+"""On-device atom extraction, fully jit/vmap-compatible with fixed shapes.
 
 The host watershed (ops/segmentation.py) is the parity-exact
 implementation of the reference's recursive skimage pipeline; it is also
@@ -7,34 +6,41 @@ the one piece of generate.py that forced a per-sample host round trip
 (generate.py:228-248).  This module is the TPU-native fast path that makes
 decode -> segment -> extract one XLA program.
 
-Algorithm:
-1. Connected components of the species grid (6-connectivity, neighbors
-   connect when they hold the SAME nonzero label — the semantics of
-   skimage.measure.label the reference relies on, watershed.py:56) via
-   min-label propagation in a ``lax.while_loop``.  Plain neighbor-min
-   iteration (rolls + wheres, pure VPU) needs O(region diameter) rounds
-   but measured 62x FASTER on TPU than pointer-jumping variants — the
-   path-halving gathers are random-access and serialize on TPU, while a
-   dozen extra roll/min rounds are nearly free.
-2. Tiny regions (<= 3 voxels) are dropped, like the reference
-   (watershed.py:58-61).
-3. The up-to-``max_atoms`` largest regions become atom slots; centroids are
-   masked segment means over voxel coordinates; the species of a region is
-   its (constant) label value.
+THE PRODUCTION ALGORITHM — ``extract_atoms(..., method="binary")``, a
+device mirror of the reference pipeline, used by the fused generation
+path (apps/generate.py --fused).  Measured on the round-2 campaign
+population: 1000/1000 valid structures, 100% atom-count parity with the
+host watershed, 200/200 species-multiset parity:
 
-Raw density-peak finding alone does NOT work here: light atoms sitting on a
-heavy neighbor's Gaussian shoulder have no local density maximum of their
-own (an O next to Ti in a perovskite, for instance).  The species grid
-already partitions voxels by nearest site, which is the signal the
-reference's watershed recovers geometrically.  But WITHIN one same-species
-component the shoulder problem disappears — equal species means equal
-Gaussian weight and width, so every constituent atom contributes its own
-local maximum.  Step 1b below therefore splits merged same-species
-components by their density peaks: per-component local maxima become seeds,
-and a bounded multi-source BFS relabels each component voxel to its
-nearest seed (the device analog of the reference's erosion + marker
-watershed split, watershed.py:98-144).  The host path
-(ops/segmentation.py) remains the reference-parity implementation.
+1. Connected components of the BINARY occupancy mask — exactly what the
+   reference labels (watershed.py:56) — via min-label propagation in a
+   ``lax.while_loop``.  Plain neighbor-min iteration (rolls + wheres,
+   pure VPU) needs O(region diameter) rounds but measured 62x FASTER on
+   TPU than pointer-jumping variants: path-halving gathers are
+   random-access and serialize on TPU, while a dozen extra roll/min
+   rounds are nearly free.
+2. Marker-erosion splitting of merged blobs: regions whose erosion
+   leaves >= 2 cores of >= wmin voxels are BFS-relabeled to their
+   nearest core — the device form of the reference's erosion/marker
+   watershed (watershed.py:98-144).  Its convexity gate is provably
+   redundant for the split decision (a convex blob's erosion stays
+   connected, so it can never yield two cores).
+3. Tiny regions (<= 3 voxels) dropped (watershed.py:58-61); the largest
+   up-to-``max_atoms`` regions become atom slots; per-region
+   MAJORITY-VOTE species (watershed.py:158-167) and centroid means via
+   scatter-free sort/run-length ranking + MXU matmul reductions.
+
+Design history — ``method="species"`` (the default for voxelizer-exact
+grids, off the fused path): CC of the SPECIES grid, where same-species
+neighbors connect.  On decoded/segmented grids it overcounted (fringe
+mislabeled patches promoted to atoms, 223/1000 round-2 samples), and its
+``split_peaks`` refinement — per-component density local maxima as BFS
+seeds, motivated by the shoulder problem (a light atom on a heavy
+neighbor's Gaussian shoulder has no global peak, but within one
+same-species component every atom owns a local maximum) — made it worse
+under decoder density ripples (896/1000).  Both are kept, tested and
+documented for the clean-grid use case; the binary method above is what
+ships.
 """
 
 from __future__ import annotations
@@ -490,34 +496,35 @@ def extract_atoms(
              centroids (max_atoms, 3) float32 voxel coordinates,
              valid (max_atoms,) bool).
 
+    method="binary" — THE PRODUCTION FUSED-PATH METHOD — mirrors the
+    reference pipeline exactly instead of partitioning by species:
+    connected components of the BINARY occupancy (watershed.py:56),
+    `erosion_levels` rounds of marker-erosion splitting (regions with
+    >= 2 eroded cores of >= wmin voxels BFS-split to their nearest core;
+    the convexity gate is redundant for the split decision — a convex
+    blob's erosion is connected, so it can never produce two cores),
+    then MAJORITY-VOTE species per region over `vote_classes` classes
+    (watershed.py:158-167).  It absorbs species-confused fringe patches
+    the way the reference's vote does AND splits touching atoms the way
+    its watershed does.
+
+    The remaining options belong to the species-CC method (clean
+    voxelizer grids; design history in the module docstring):
+
     smooth_classes > 0 applies the 3^3 mode filter with that class count
     before CC — use it when the species grid comes from a segmentation
     model rather than the voxelizer.
 
     absorb_min > 0 enables fringe-patch absorption (see
     absorb_small_components) — the device analog of the reference's
-    binary-blob majority vote, and the fix for the measured fused-path
-    overcounting on decoded grids.  Use together with smooth_classes on
-    segmenter output.
+    binary-blob majority vote.
 
     split_peaks=True splits same-species components at their density local
-    maxima (see module docstring) — the analog of the host watershed's
-    erosion/marker split for touching same-species atoms
-    (watershed.py:98-144).  Off by default: on real decoded grids the
-    merging it guards against was never observed, while decoder density
-    ripples make peak splitting overcount (measured in round 2).
-
-    method="binary" mirrors the reference pipeline exactly instead of
-    partitioning by species: connected components of the BINARY occupancy
-    (watershed.py:56), `erosion_levels` rounds of marker-erosion splitting
-    (regions with >= 2 eroded cores of >= wmin voxels BFS-split to their
-    nearest core; the convexity gate is redundant for the split decision —
-    a convex blob's erosion is connected, so it can never produce two
-    cores), then MAJORITY-VOTE species per region over `vote_classes`
-    classes (watershed.py:158-167).  This is the production fused-path
-    method: it absorbs species-confused fringe patches the way the
-    reference's vote does AND splits touching atoms the way its watershed
-    does.
+    maxima — the analog of the host watershed's erosion/marker split for
+    touching same-species atoms (watershed.py:98-144).  Off by default:
+    on real decoded grids the merging it guards against was never
+    observed, while decoder density ripples make peak splitting
+    overcount (measured in round 2).
     """
     shape = species.shape
     n_vox = shape[0] * shape[1] * shape[2]

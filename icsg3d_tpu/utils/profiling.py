@@ -112,6 +112,39 @@ def fetch_time(
     return (t2 - t1) / iters
 
 
+def generation_rate(gen_step, z, cond, iters: int = 10) -> dict:
+    """Samples/sec of a fused generation program, tunnel-robustly.
+
+    THE one timing harness for the generation headline — bench.py and
+    tools/ndcs_step_bench.py both call it, so their numbers are
+    comparable by construction.  (Round 2 shipped two hand-rolled loops
+    that disagreed 2.2x on the same program: the tool's warmup ran only
+    the gen program, so the chain's eager ops — sum/mul/add — compiled
+    through the slow remote helper *inside* the timed region.
+    ``fetch_time``'s run(1) warmup executes one full chained iteration,
+    warming both the program and the chain before timing starts.)
+
+    Chains z through the previous iteration's output (the async-dispatch
+    trap) and ends with a host fetch (the degraded-blocking trap).
+    """
+    batch = int(z.shape[0])
+
+    def step(zz):
+        out = gen_step(zz, cond)
+        # any output leaf works: all outputs of one executed XLA program
+        # materialize together, so depending on one puts the whole
+        # program on the critical path
+        leaf = jax.tree_util.tree_leaves(out)[0]
+        return zz + 1e-30 * jnp.sum(leaf.astype(jnp.float32))
+
+    dt = fetch_time(step, z, iters=iters)
+    return {
+        "batch_ms": round(1e3 * dt, 2),
+        "samples_per_sec": round(batch / dt, 1),
+        "iters": iters,
+    }
+
+
 def timing_selftest(n: int = 2048, k: int = 10) -> dict:
     """Detect degraded ``block_until_ready`` in the current process.
 

@@ -16,6 +16,10 @@ LOG=output/ns10k/mix64_vae.log
 mkdir -p output/ns10k checkpoints/mix64
 done_epochs=0
 first=1
+fails=0
+MAX_FAILS=${MAX_FAILS:-5}   # consecutive-failure cap: a persistent error
+                            # (e.g. a kernel that won't compile) must fail
+                            # loudly, not retry-loop forever looking slow
 while [ $done_epochs -lt $TOTAL ]; do
   n=$CHUNK
   rem=$((TOTAL - done_epochs))
@@ -30,10 +34,17 @@ while [ $done_epochs -lt $TOTAL ]; do
   rc=$?
   echo "=== chunk rc=$rc $(date)" >> $LOG
   if [ $rc -ne 0 ]; then
-    echo "=== chunk failed; waiting for tunnel before retry" >> $LOG
+    fails=$((fails + 1))
+    if [ $fails -ge $MAX_FAILS ]; then
+      echo "=== campaign ABORTED: $fails consecutive chunk failures (last rc=$rc) $(date)" >> $LOG
+      echo "campaign_mix64: aborted after $fails consecutive failures; see $LOG" >&2
+      exit 1
+    fi
+    echo "=== chunk failed ($fails/$MAX_FAILS); waiting before retry" >> $LOG
     sleep 180
     continue
   fi
+  fails=0
   done_epochs=$((done_epochs + n))
   first=0
 done

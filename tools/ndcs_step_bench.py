@@ -163,23 +163,22 @@ def bench_generate(layout: str, d: int = 32, bs: int = 128, n: int = 10):
     rng = np.random.default_rng(0)
     z = jnp.asarray(rng.normal(size=(bs, vae.cfg.latent_dim)).astype(np.float32))
     cond = jnp.asarray(np.eye(10, dtype=np.float32)[rng.integers(0, 10, bs)])
-    out = gen_step(z, cond)
-    jax.device_get(out[0].ravel()[0])
-    t0 = time.perf_counter()
-    for _ in range(n):
-        out = gen_step(z, cond)
-        z = z + 1e-30 * jnp.sum(out[2])  # chain: tunnel async-timing trap
-    jax.device_get(out[0].ravel()[0])
-    dt = (time.perf_counter() - t0) / n
+    # the ONE shared generation-timing harness (bench.py uses the same);
+    # round 2's hand-rolled loop here warmed only the gen program, so the
+    # chain's eager-op compiles landed inside the timed region and this
+    # tool read 2.2x slower than bench.py on the identical program
+    from icsg3d_tpu.utils.profiling import generation_rate
+
+    r = generation_rate(gen_step, z, cond, iters=n)
     return {
         "layout": layout, "model": "fused_generate", "d": d,
-        "batch_size": bs, "batch_ms": round(1e3 * dt, 2),
-        "samples_per_sec": round(bs / dt, 1),
+        "batch_size": bs, **r,
     }
 
 
 LAYOUTS = tuple(
-    os.environ.get("NDCS_BENCH_LAYOUTS", "ndhwc,ndcs").split(",")
+    s.strip()
+    for s in os.environ.get("NDCS_BENCH_LAYOUTS", "ndhwc,ndcs").split(",")
 )
 
 
@@ -192,7 +191,9 @@ def main():
     )
     if os.path.exists(prior):  # merge partial runs (layout/config filters)
         with open(prior) as f:
-            results.update(json.load(f))
+            stale = json.load(f)
+        stale.pop("platform", None)  # never let a stale run's platform
+        results.update(stale)        # masquerade as this run's
     for key in which:
         d, bs = CONFIGS[key.strip()]
         for layout in LAYOUTS:

@@ -192,6 +192,86 @@ def watershed_clustering_faithful(M, S, Sb, **kw):
 
 
 # ---------------------------------------------------------------------------
+# Ground-truth adjudication (VERDICT r2 item 5)
+#
+# Round 2 showed prod-vs-faithful diverging on 27.8% of val reconstructions
+# and argued "neither is ground truth" — but ground truth EXISTS for that
+# population: the true CIF sites stored in the dataset, exactly what
+# /root/reference/eval.py:182-213 compares against.  This pass measures,
+# per variant, the reference's own metrics (EMD via rectangular assignment,
+# eval.py:45-53; |dN|) against the true sites — overall and restricted to
+# the disagreement subset — so the divergence question closes with data.
+# ---------------------------------------------------------------------------
+
+def adjudicate_vs_truth(grids) -> dict:
+    """grids: iterable of (M, S, Sb, cart_true, l_pred, dv_pred, eps_frac).
+
+    Runs BOTH watershed variants on each reconstruction, converts their
+    voxel centroids to cartesians with the sample's predicted lattice
+    (generate.py:237-241 transform), and scores each against the true
+    sites.  Returns per-variant means overall and on the subset where the
+    variants disagree on atom count.
+    """
+    from icsg3d_tpu.ops.emd import earth_movers_distance
+
+    acc = {
+        "prod": {"emd": [], "dn": []},
+        "faithful": {"emd": [], "dn": []},
+        "n": 0, "n_disagree": 0, "faithful_failures": 0,
+        "disagree_idx": [],
+    }
+    for (M, S, Sb, cart_true, l_pred, dv_pred, eps_frac) in grids:
+        try:
+            atoms_f, mu_f = watershed_clustering_faithful(M, S, Sb)
+        except RecursionError:
+            acc["faithful_failures"] += 1
+            continue
+        atoms_p, mu_p = seg.watershed_clustering(M, S, Sb)
+        i = acc["n"]
+        acc["n"] += 1
+        disagree = len(atoms_p) != len(atoms_f)
+        if disagree:
+            acc["n_disagree"] += 1
+            acc["disagree_idx"].append(i)
+        n_true = len(cart_true)
+        for name, mu, atoms in (
+            ("prod", mu_p, atoms_p), ("faithful", mu_f, atoms_f)
+        ):
+            mu = np.asarray(mu, np.float64).reshape(-1, 3)
+            cart = (
+                mu * dv_pred - eps_frac * l_pred + dv_pred / 2.0
+                if len(mu) else np.zeros((0, 3))
+            )
+            acc[name]["emd"].append(earth_movers_distance(cart, cart_true))
+            acc[name]["dn"].append(abs(len(atoms) - n_true))
+
+    out = {
+        "n": acc["n"],
+        "n_disagree": acc["n_disagree"],
+        "pct_disagree": round(100.0 * acc["n_disagree"] / max(acc["n"], 1), 2),
+        "faithful_failures": acc["faithful_failures"],
+    }
+    dis = np.zeros(acc["n"], bool)
+    dis[acc["disagree_idx"]] = True
+    for name in ("prod", "faithful"):
+        emd = np.asarray(acc[name]["emd"], np.float64)
+        dn = np.asarray(acc[name]["dn"], np.float64)
+        fin = np.isfinite(emd)
+        out[name] = {
+            "mean_emd_vs_truth": round(float(emd[fin].mean()), 4)
+            if fin.any() else None,
+            "mean_dn_vs_truth": round(float(dn.mean()), 4) if len(dn) else None,
+            "disagree_subset": {
+                "mean_emd_vs_truth": round(float(emd[dis & fin].mean()), 4)
+                if (dis & fin).any() else None,
+                "mean_dn_vs_truth": round(float(dn[dis].mean()), 4)
+                if dis.any() else None,
+            },
+        }
+    return out
+
+
+# ---------------------------------------------------------------------------
 # Comparison harness
 # ---------------------------------------------------------------------------
 
@@ -266,6 +346,10 @@ def main(argv=None):
     p.add_argument("--nsamples", type=int, default=1000)
     p.add_argument("--nval", type=int, default=0,
                    help="also compare over N validation reconstructions")
+    p.add_argument("--adjudicate", action="store_true",
+                   help="score both watershed variants against the TRUE "
+                        "CIF sites over the --nval reconstructions "
+                        "(reference eval.py:182-213 metrics)")
     p.add_argument("--batch-size", type=int, default=50)
     p.add_argument("--var", type=float, default=0.5)
     p.add_argument("--d", type=int, default=32)
@@ -342,15 +426,23 @@ def main(argv=None):
                 sel = valid_d[i]
                 yield (M[i, ..., 0], S_i, Sb_i, atoms_d[i][sel], mu_d[i][sel])
             n_done += n
-        results["fused_samples_per_sec"] = round(args.nsamples / fused_s, 1)
+        if fused_s > 0:  # --nsamples 0 (adjudicate-only runs) times nothing
+            results["fused_samples_per_sec"] = round(args.nsamples / fused_s, 1)
 
-    def val_grids():
+    def val_batches():
         _, val_ids = data_split(ds.ids, n=None, n_rot=0)
         val_ids = val_ids[: args.nval]
         recon = common.jit_vae_reconstruct(vae_model, vae_vars)
         segment = common.jit_unet_segment(
             unet_model, unet_vars, pipe.binary_threshold
         )
+        from icsg3d_tpu.ops.grid import to_lattice_params, to_voxel_params
+
+        @jax.jit
+        def lattice_of(out):
+            l = to_lattice_params(out[..., 1:], grid)
+            return l, to_voxel_params(l, grid)
+
         for s in range(0, len(val_ids), args.batch_size):
             ids_b = val_ids[s: s + args.batch_size]
             rows = ds.rows(ids_b)
@@ -363,19 +455,48 @@ def main(argv=None):
                 jnp.asarray(x), jnp.asarray(cb), jax.random.key(0)
             )
             labels, binary, _ = segment(out)
+            l_pred, dv_pred = lattice_of(out)
             M = np.asarray(out)[..., 0]
-            labels = np.asarray(labels)
-            binary = np.asarray(binary)
-            for i in range(len(ids_b)):
+            yield (
+                rows, M, np.asarray(labels), np.asarray(binary),
+                np.asarray(l_pred, np.float64), np.asarray(dv_pred, np.float64),
+            )
+
+    def val_grids():
+        for rows, M, labels, binary, _, _ in val_batches():
+            for i in range(len(rows)):
                 Sb_i = binary[i]
                 S_i = np.where(Sb_i > 0, labels[i], 0)
                 yield (M[i], S_i, Sb_i, None, None)
+
+    def val_truth_grids():
+        has_sites = "sites" in ds.arrays and "site_z" in ds.arrays
+        if not has_sites:
+            raise SystemExit(
+                "--adjudicate needs the dataset's stored true sites "
+                "(sites/site_z arrays)"
+            )
+        for rows, M, labels, binary, l_pred, dv_pred in val_batches():
+            sites = np.asarray(ds.arrays["sites"][rows], np.float64)
+            site_z = np.asarray(ds.arrays["site_z"][rows])
+            for i in range(len(rows)):
+                Sb_i = binary[i]
+                S_i = np.where(Sb_i > 0, labels[i], 0)
+                cart_true = sites[i][site_z[i] > 0]
+                yield (
+                    M[i], S_i, Sb_i, cart_true, l_pred[i], dv_pred[i],
+                    grid.eps_frac,
+                )
 
     print(f"comparing over {args.nsamples} generated samples ...")
     results["generation"] = compare_populations(gen_grids())
     if args.nval:
         print(f"comparing over {args.nval} validation reconstructions ...")
         results["validation"] = compare_populations(val_grids())
+    if args.adjudicate and args.nval:
+        print(f"adjudicating vs true sites over {args.nval} "
+              "reconstructions ...")
+        results["adjudication"] = adjudicate_vs_truth(val_truth_grids())
 
     with open(args.out, "w") as f:
         json.dump(results, f, indent=1)
