@@ -110,7 +110,7 @@ class SpatialMajorConv(nn.Module):
         import jax
 
         from icsg3d_tpu.ops.lowc_conv import (
-            conv_ndcs, from_ndcs, lowc_supported, to_ndcs,
+            conv_ndcs, conv_ndcs_fits, from_ndcs, lowc_supported, to_ndcs,
         )
 
         H, W = self.hw
@@ -140,6 +140,7 @@ class SpatialMajorConv(nn.Module):
                 x.shape[0] % mesh.shape[DATA_AXIS] == 0
                 and x.shape[1] % mesh.shape[SPATIAL_AXIS] == 0
                 and lowc_supported(H, W)
+                and conv_ndcs_fits(cin, self.features, H, W, self.dtype)
             )
             if divisible:
                 return conv_ndcs_sharded(
@@ -148,7 +149,17 @@ class SpatialMajorConv(nn.Module):
                 )
         use = self.use_pallas
         if use is None:
-            use = jax.default_backend() == "tpu" and lowc_supported(H, W)
+            # auto: TPU + supported plane + fits VMEM.  Big-channel convs
+            # (U-Net bottleneck/decoder) fail the fit check — their
+            # packed-weight / dw-gradient blocks exceed VMEM at any depth
+            # block — and are exactly the shapes XLA's conv already runs
+            # well, so they take the XLA round-trip below while the model
+            # stays in the spatial-major layout.
+            use = (
+                jax.default_backend() == "tpu"
+                and lowc_supported(H, W)
+                and conv_ndcs_fits(cin, self.features, H, W, self.dtype)
+            )
         if use:
             return conv_ndcs(x, kernel, bias, (H, W))
         xh = from_ndcs(x, H, W)

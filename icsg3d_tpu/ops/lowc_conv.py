@@ -455,6 +455,43 @@ def lowc_supported(H: int, W: int) -> bool:
     return (H * W) % 128 == 0 and W + 1 <= _APRON
 
 
+def conv_ndcs_fits(
+    cin: int, cout: int, H: int, W: int, dtype=jnp.bfloat16
+) -> bool:
+    """True when the differentiable tap-packed conv fits VMEM for these
+    channel counts (fwd, dx AND dw kernels, each at its smallest depth
+    block).
+
+    The packed-weight block scales as Cin*Cout, so big-channel convs (the
+    U-Net's 256..768-channel bottleneck/decoder layers) blow past the
+    ~16 MB VMEM even at dblk=1 — the dw kernel's resident f32 gradient
+    block (9*Cout, 3*Cin) alone reaches 42 MB at 768->512.  Those are
+    exactly the MXU-friendly shapes XLA already runs at 40-60% of peak;
+    this kernel exists for the LOW-channel shapes XLA runs at 2-12%.
+    Callers (models/layers.py SpatialMajorConv) fall back to the XLA conv
+    when this returns False instead of dying in the TPU compile helper
+    with a scoped-vmem OOM.
+    """
+    it = jnp.dtype(dtype).itemsize
+    gran = _sublane_granule(dtype)
+    cp = _round_up(cin, gran)
+    cop = _round_up(cout, gran)
+    S = H * W
+    sp = S + 2 * _APRON
+    budget = 12 * 1024 * 1024  # same headroom as _pick_dblk
+    # forward at dblk=1: vpad + double-buffered out + f32 P + weights
+    fwd = 3 * cp * sp * it + 2 * cout * S * it + 9 * cout * sp * 4 \
+        + 9 * cout * 3 * cp * it
+    # dx = same kernel with channels swapped
+    dx = 3 * cop * sp * it + 2 * cin * S * it + 9 * cin * sp * 4 \
+        + 9 * cin * 3 * cop * it
+    # dw at dblk=1: vpad + g block + resident f32 out + f32 acc + the
+    # 9-tap rotate stack (g9 in g.dtype + 3 f32 widened dw-buffers)
+    dw = 3 * cp * sp * it + 2 * cout * S * it + 2 * 9 * cout * 3 * cp * 4 \
+        + 9 * cout * sp * it + 3 * cout * sp * 4
+    return max(fwd, dx, dw) <= budget
+
+
 def conv3d_lowc(x, w, bias=None, interpret: bool = False, dblk: int = 0):
     """Conv3D(3x3x3, stride 1, SAME) for small channel counts, NDHWC API.
 
