@@ -224,6 +224,51 @@ class TestPickDblk:
         assert _pick_dblk(6) == 2
 
 
+class TestConvNdcsFits:
+    """VMEM feasibility gate: big-channel convs must route to the XLA
+    fallback instead of dying in the TPU compile helper with a
+    scoped-vmem OOM (the round-3 d64/unet ndcs failure — the 768->512
+    decoder conv's packed weights are 21 MB and its dw kernel's resident
+    f32 gradient block 42 MB, past 16 MB VMEM at any depth block)."""
+
+    def test_low_channel_production_shapes_fit(self):
+        from icsg3d_tpu.ops.lowc_conv import conv_ndcs_fits
+
+        # the VAE conv set (filters 16..128) at 32^3 and 64^3 planes —
+        # these MUST stay on the Pallas path (they are its raison d'etre)
+        for cin, cout, s in [
+            (14, 16, 32), (16, 32, 32), (4, 16, 64), (16, 16, 64),
+            (32, 64, 16), (64, 128, 16), (128, 128, 16), (128, 64, 16),
+        ]:
+            assert conv_ndcs_fits(cin, cout, s, s), (cin, cout, s)
+
+    def test_big_channel_shapes_fall_back(self):
+        from icsg3d_tpu.ops.lowc_conv import conv_ndcs_fits
+
+        # the U-Net bottleneck/decoder shapes that OOM'd the compile
+        # helper (d64_ndcs / unet32_ndcs, output/ns10k round-2 record)
+        for cin, cout, s in [(768, 512, 16), (256, 256, 16), (384, 256, 16)]:
+            assert not conv_ndcs_fits(cin, cout, s, s), (cin, cout, s)
+
+    def test_unet_ndcs_models_init(self):
+        """The d-64 U-Net in ndcs layout (the config that OOM'd) must at
+        least trace/init with the gate in place; on CPU the gated convs
+        all take the XLA path, so this exercises the routing, not Mosaic.
+        """
+        import jax
+        import jax.numpy as jnp
+
+        from icsg3d_tpu.config import UNetConfig
+        from icsg3d_tpu.models.unet import UNet3D
+
+        model = UNet3D(UNetConfig(layout="ndcs"))
+        x = jnp.zeros((1, 64, 64, 64, 4), jnp.float32)
+        variables = jax.eval_shape(
+            lambda: model.init(jax.random.key(0), x, train=False)
+        )
+        assert "params" in variables
+
+
 class TestNdcsBf16Grads:
     """The production configs run bfloat16; the layout fallback conv once
     broke only under jax.grad with bf16 (preferred_element_type=f32 made
