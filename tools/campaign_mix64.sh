@@ -11,7 +11,7 @@ cd /root/repo
 export JAX_COMPILATION_CACHE_DIR=/root/.cache/jax_comp_cache
 TOTAL=${1:-60}
 CHUNK=${2:-15}
-LAYOUT=${3:-ndcs}
+LAYOUT=${3:-ndhwc}  # measured whole-step winner at 64^3 (ndcs_step.json r3)
 LOG=output/ns10k/mix64_vae.log
 mkdir -p output/ns10k checkpoints/mix64
 done_epochs=0
