@@ -46,8 +46,14 @@ def bench_config(d: int, bs: int, layout: str, n_steps: int = 20):
     from icsg3d_tpu.train.vae import create_vae_state, make_vae_steps
 
     grid = GridSpec(d=d)
-    vae_cfg = VAEConfig(grid=grid, layout=layout)
-    unet_cfg = UNetConfig(layout=layout)
+    # "mixed" = VAE in the spatial-major Pallas layout (its own low-channel
+    # convs are XLA's weak spot — 8.3% MFU at 64^3 per profile64), frozen
+    # perceptual U-Net in ndhwc (where XLA already runs it at ~48%).  The
+    # VAE emits NDHWC recon at its boundary, so the layouts compose freely.
+    vae_layout = "ndcs" if layout == "mixed" else layout
+    unet_layout = "ndhwc" if layout == "mixed" else layout
+    vae_cfg = VAEConfig(grid=grid, layout=vae_layout)
+    unet_cfg = UNetConfig(layout=unet_layout)
     tc = TrainConfig(batch_size=bs, learning_rate=5e-4)
 
     vae, state = create_vae_state(vae_cfg, tc, jax.random.key(0))
