@@ -73,6 +73,12 @@ def add_vae_flags(parser) -> None:
              "parameter trees are layout-independent, so any checkpoint "
              "loads under either layout (ops/lowc_conv.py)",
     )
+    parser.add_argument(
+        "--cond-repeat", type=int, default=1,
+        help="channel-repeat of the condition block; 4 reproduces the "
+             "reference's Keras tile quirk (44-channel encoder input, "
+             "vae/lattice_vae.py:166-169; config.VAEConfig docstring)",
+    )
 
 
 def vae_config_from_args(args, grid) -> VAEConfig:
@@ -80,6 +86,7 @@ def vae_config_from_args(args, grid) -> VAEConfig:
         grid=grid, cond_bins=args.cond_bins, latent_dim=args.latent,
         filters=parse_filters(args.filters),
         layout=getattr(args, "layout", "ndhwc"),
+        cond_repeat=getattr(args, "cond_repeat", 1),
     )
 
 

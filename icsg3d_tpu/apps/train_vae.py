@@ -39,6 +39,10 @@ def main(argv=None):
     p.add_argument("--alpha", type=float, default=0.5)
     p.add_argument("--beta", type=float, default=3e-4)
     p.add_argument("--cond-bins", type=int, default=10)
+    p.add_argument("--cond-repeat", type=int, default=1,
+                   help="channel-repeat of the condition block; 4 "
+                        "reproduces the reference's Keras tile quirk "
+                        "(44-channel encoder, vae/lattice_vae.py:166-169)")
     p.add_argument("--num-classes", type=int, default=95)
     p.add_argument("--nrot", type=int, default=10)
     p.add_argument("--seed", type=int, default=0)
@@ -90,7 +94,7 @@ def main(argv=None):
     cfg = VAEConfig(
         grid=grid, latent_dim=args.latent, alpha=args.alpha, beta=args.beta,
         cond_bins=args.cond_bins, filters=common.parse_filters(args.filters),
-        layout=args.layout,
+        layout=args.layout, cond_repeat=args.cond_repeat,
     )
     mesh = make_mesh(n_spatial=args.spatial)
     n_data = mesh.shape["data"]
