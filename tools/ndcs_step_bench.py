@@ -190,6 +190,7 @@ LAYOUTS = tuple(
 
 def main():
     which = os.environ.get("NDCS_BENCH_CONFIGS", "32,64").split(",")
+    bs_override = os.environ.get("NDCS_BENCH_BS")  # batch-size sweeps
     results = {"platform": jax.devices()[0].platform}
     prior = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
@@ -202,12 +203,16 @@ def main():
         results.update(stale)        # masquerade as this run's
     for key in which:
         d, bs = CONFIGS[key.strip()]
+        if bs_override:
+            bs = int(bs_override)
         for layout in LAYOUTS:
             try:
                 r = bench_config(d, bs, layout)
             except Exception as e:  # record, keep going
                 r = {"layout": layout, "d": d, "error": repr(e)[:500]}
-            results[f"d{d}_{layout}"] = r
+            name = f"d{d}_{layout}" if not bs_override else \
+                f"d{d}_{layout}_bs{bs}"
+            results[name] = r
             print(json.dumps(r), flush=True)
     if os.environ.get("NDCS_BENCH_UNET", "1") == "1":
         for layout in LAYOUTS:
