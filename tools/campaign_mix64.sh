@@ -26,7 +26,7 @@ while [ $done_epochs -lt $TOTAL ]; do
   [ $rem -lt $n ] && n=$rem
   args=(--data data/mix64 --ckpt checkpoints/mix64/vae
         --unet-ckpt checkpoints/ns10k/unet
-        --epochs $n --batch-size 48 --lr 5e-4
+        --epochs $n --batch-size 48 --lr 5e-4 --nrot 0
         --layout $LAYOUT --ship-dtype float16)
   [ $first -eq 0 ] && args+=(--resume)
   echo "=== chunk start epochs_done=$done_epochs n=$n $(date)" >> $LOG
