@@ -16,6 +16,9 @@ LOG=output/ns10k/mix64_vae.log
 mkdir -p output/ns10k checkpoints/mix64
 done_epochs=0
 first=1
+# RESUME=1: continue an existing checkpoints/mix64/vae for TOTAL more
+# epochs (every chunk passes --resume, including the first).
+[ "${RESUME:-0}" = 1 ] && first=0
 fails=0
 MAX_FAILS=${MAX_FAILS:-5}   # consecutive-failure cap: a persistent error
                             # (e.g. a kernel that won't compile) must fail

@@ -3,7 +3,8 @@
 # has produced checkpoints/ns10k/{unet,vae,cgcnn}:
 #
 #   bash tools/campaign_r3_extras.sh [stage...]
-#   stages: eval generate adjudicate mix64 eval64 gen64 condrepeat
+#   stages: eval generate adjudicate mix64 vae64ext unet64 eval64 gen64
+#           condrepeat
 #
 # Each stage is a separate fresh process (axon host-RAM leak, CLAUDE.md).
 set -u
@@ -65,18 +66,53 @@ for stage in ${*:-eval generate adjudicate}; do
       fi
       bash tools/campaign_mix64.sh 60 15 ndhwc || exit 1
       ;;
+    vae64ext)
+      # Extend checkpoints/mix64/vae to the full 250-epoch reference
+      # schedule (train_vae.py:46-52): 190 more on top of mix64's 60.
+      RESUME=1 bash tools/campaign_mix64.sh "${VAE64EXT_EPOCHS:-190}" 15 ndhwc \
+        || exit 1
+      ;;
+    unet64)
+      # Dedicated 64^3 segmentation U-Net on the mixed dataset — the
+      # 32^3-trained ns10k U-Net runs fully-convolutionally at 64^3 but
+      # sees 2x-wider blobs (sigma is fixed in Angstrom) and a different
+      # chemistry mix; gen64 species labeling needs the matched model.
+      done_e=0; first=1; fails=0
+      total=${UNET64_EPOCHS:-50}
+      while [ $done_e -lt $total ]; do
+        n=10; rem=$((total - done_e)); [ $rem -lt $n ] && n=$rem
+        uargs=(--data data/mix64 --ckpt checkpoints/mix64/unet
+               --batch-size 8 --lr 3e-6 --nrot 0 --epochs $n)
+        [ $first -eq 0 ] && uargs+=(--resume)
+        echo "=== unet64 chunk start epochs_done=$done_e n=$n $(date)" \
+          >> $LOGDIR/unet64.log
+        timeout 3600 python -m icsg3d_tpu.apps.train_unet "${uargs[@]}" \
+          >> $LOGDIR/unet64.log 2>&1
+        rc=$?
+        echo "=== unet64 chunk rc=$rc $(date)" >> $LOGDIR/unet64.log
+        if [ $rc -ne 0 ]; then
+          fails=$((fails + 1)); [ $fails -ge 5 ] && exit 1
+          sleep 120; continue
+        fi
+        fails=0; done_e=$((done_e + n)); first=0
+      done
+      ;;
     eval64)
+      UNET64=checkpoints/ns10k/unet
+      [ -d checkpoints/mix64/unet ] && UNET64=checkpoints/mix64/unet
       run eval64 3600 python -m icsg3d_tpu.apps.evaluate \
         --data data/mix64 --vae-ckpt checkpoints/mix64/vae \
-        --unet-ckpt checkpoints/ns10k/unet --batch-size 32 \
+        --unet-ckpt $UNET64 --batch-size 32 \
         --output $LOGDIR/eval_mix64.json --plots $LOGDIR/eval64_plots
       ;;
     gen64)
+      UNET64=checkpoints/ns10k/unet
+      [ -d checkpoints/mix64/unet ] && UNET64=checkpoints/mix64/unet
       run gen64 3600 python -m icsg3d_tpu.apps.generate \
         --data data/mix64 --base "$(python -c '
 from icsg3d_tpu.data.store import GridDataset
 print(GridDataset("data/mix64").ids[0])')" \
-        --vae-ckpt checkpoints/mix64/vae --unet-ckpt checkpoints/ns10k/unet \
+        --vae-ckpt checkpoints/mix64/vae --unet-ckpt $UNET64 \
         --nsamples 200 --batch-size 20 --var 0.5 \
         --output $LOGDIR/generated64
       ;;
