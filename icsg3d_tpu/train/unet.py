@@ -174,10 +174,15 @@ def _save_best_plots(model, state, batch, plot_dir: str):
     variables = {"params": state.params, "batch_stats": state.batch_stats}
     batch = dict(batch)
     batch["x"] = _assemble_x(batch, None)
-    soft, sig = model.apply(variables, batch["x"], train=False)
+    # forward only the 4 plotted samples, JITTED: an un-jitted apply
+    # dispatches per-op over the tunnel with eager-op remote compiles —
+    # see train/vae.py _save_best_plots for the measured cost
+    n = min(4, len(batch["x"]))
+    soft, sig = jax.jit(
+        lambda v, xx: model.apply(v, xx, train=False)
+    )(variables, batch["x"][:n])
     pred = np.asarray(jnp.argmax(soft, axis=-1), dtype=np.float32)[..., None]
-    true = np.asarray(batch["labels"], np.float32)[..., None]
-    n = min(4, len(pred))
+    true = np.asarray(batch["labels"][:n], np.float32)[..., None]
     viz.plot_real_vs_pred(true[:n], pred[:n], f"{plot_dir}/segmentations_best.png")
     viz.plot_real_vs_pred(
         (true[:n] != 0).astype(np.float32),

@@ -236,21 +236,28 @@ def _save_best_plots(model, state, batch, plot_dir: str, epoch: int):
     variables = {"params": state.params, "batch_stats": state.batch_stats}
     batch = dict(batch)
     x = _assemble_x(batch, model.cfg.grid)
-    # forward only what gets plotted: this un-jitted forward dispatches
-    # per-op over the tunnel and every created array leaks host RAM
-    # (CLAUDE.md) — reconstructing a full 128-batch to plot 4 multiplied
-    # both costs for nothing
+    # forward only what gets plotted (4 samples, not the full batch), and
+    # JIT both forwards: an un-jitted apply dispatches per-op over the
+    # tunnel — with per-op eager compiles through the slow remote helper —
+    # and early training improves val almost every epoch, so this path
+    # dominated the 64^3 campaign's wall-clock (~14 min/15-epoch chunk of
+    # overhead in the round-3 60-epoch run).  The jitted programs hit the
+    # persistent compile cache across chunk restarts.
     n = min(4, len(x))
-    recon, z_mean, _, _ = model.apply(
-        variables, x[:n], batch["cond"][:n], jax.random.key(0), train=False
-    )
+    recon, z_mean = jax.jit(
+        lambda v, xx, cc: model.apply(
+            v, xx, cc, jax.random.key(0), train=False
+        )[:2]
+    )(variables, x[:n], batch["cond"][:n])
     viz.plot_real_vs_pred(
         np.asarray(x[:n]), np.asarray(recon),
         f"{plot_dir}/reconstructions.png",
     )
-    _, samples = sample_prior(
-        model, variables, jax.random.key(epoch), n_samples=1
-    )
+    # epoch rides in as an argument (not a traced-time constant) so the
+    # compiled HLO is identical across improvements -> one cache entry
+    _, samples = jax.jit(
+        lambda v, e: sample_prior(model, v, jax.random.key(e), n_samples=1)
+    )(variables, epoch)
     viz.plot_slices(np.asarray(samples[0]), f"{plot_dir}/samples.png")
     viz.plot_latent_kde(np.asarray(z_mean), f"{plot_dir}/latent_kde.png")
 

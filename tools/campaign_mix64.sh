@@ -12,6 +12,12 @@ export JAX_COMPILATION_CACHE_DIR=/root/.cache/jax_comp_cache
 TOTAL=${1:-60}
 CHUNK=${2:-15}
 LAYOUT=${3:-ndhwc}  # measured whole-step winner at 64^3 (ndcs_step.json r3)
+# Perceptual-tap U-Net.  The reference trains the DFC U-Net on the SAME
+# dataset as the VAE (train_unet.py then train_vae.py over one data dir),
+# so when the dedicated 64^3 U-Net exists (campaign_r3_extras.sh unet64)
+# pass UNET_CKPT=checkpoints/mix64/unet; the 32^3 ns10k default is the
+# fully-convolutional fallback used by the first recorded 60-epoch run.
+UNET_CKPT=${UNET_CKPT:-checkpoints/ns10k/unet}
 LOG=output/ns10k/mix64_vae.log
 mkdir -p output/ns10k checkpoints/mix64
 done_epochs=0
@@ -28,7 +34,7 @@ while [ $done_epochs -lt $TOTAL ]; do
   rem=$((TOTAL - done_epochs))
   [ $rem -lt $n ] && n=$rem
   args=(--data data/mix64 --ckpt checkpoints/mix64/vae
-        --unet-ckpt checkpoints/ns10k/unet
+        --unet-ckpt "$UNET_CKPT"
         --epochs $n --batch-size 48 --lr 5e-4 --nrot 0
         --layout $LAYOUT --ship-dtype float16)
   [ $first -eq 0 ] && args+=(--resume)
