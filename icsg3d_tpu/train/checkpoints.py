@@ -69,6 +69,24 @@ class CheckpointManager:
             "opt_state": state.opt_state,
         }
 
+    def _infer_tree(self, state) -> Any:
+        """The inference slice of the state: what `best` checkpoints hold.
+
+        `best` exists to be loaded by eval/generate/interpolate — nobody
+        resumes an optimizer from it (`--resume` reads `latest`).  The
+        Adam moments are 2/3 of the state's bytes, and on a remote-device
+        link the per-improvement jax.device_get is a measured wall-clock
+        sink (early training improves val almost every epoch), so `best`
+        skips them.  Reference analog: Keras ModelCheckpoint
+        save_weights_only best-val saves (unet/unet.py:361-367) hold no
+        optimizer state either.
+        """
+        return {
+            "step": state.step,
+            "params": state.params,
+            "batch_stats": state.batch_stats,
+        }
+
     def _save_swap(self, name: str, tree) -> None:
         """Durable overwrite: finalize the new checkpoint next to the old
         one, then swap via renames.  Orbax's force=True instead DELETES
@@ -103,31 +121,39 @@ class CheckpointManager:
     def save_epoch(
         self, state, metric: float, epoch: int, latest_every: int = 1
     ) -> bool:
-        """Per-epoch best + latest saves with ONE device fetch.
+        """Per-epoch best/latest saves with at most ONE device fetch.
 
-        jax.device_get of the full train state (params + Adam moments) is
-        the expensive part over a remote device link, so it runs at most
-        once per epoch — and only when there is something to write: the
-        metric improved, or the `latest` cadence is due.  The train
-        drivers make one guarded save_latest() after the final epoch only
-        when the cadence skipped it (see train/unet.py's loop tail).
-        Returns whether `best` improved.
+        jax.device_get of the train state is the expensive part over a
+        remote device link, so fetches are minimized: when the `latest`
+        cadence is due the full state (params + Adam moments) fetches
+        once and serves both files; when only the metric improved, just
+        the inference slice fetches (see _infer_tree) and only `best` is
+        written — `latest` waits for its cadence or for the train
+        drivers' guarded save_latest() after the final epoch (see
+        train/unet.py's loop tail), so a mid-chunk kill replays at most
+        one cadence interval.  Returns whether `best` improved.
         """
         improved = self._is_better(float(metric))
         due = latest_every <= 1 or (epoch + 1) % latest_every == 0
         if not improved and not due:
             return False
-        self.last_latest_epoch = epoch
-        tree = jax.device_get(self._tree(state))
+        if due:  # one full fetch covers latest (and best, if improved)
+            self.last_latest_epoch = epoch
+            tree = jax.device_get(self._tree(state))
+            infer = {k: tree[k] for k in ("step", "params", "batch_stats")}
+        else:  # improved only: fetch the inference slice, skip the moments
+            tree = None
+            infer = jax.device_get(self._infer_tree(state))
         if improved:
             self.best_metric = float(metric)
-            self._save_swap("best", tree)
+            self._save_swap("best", infer)
             meta = os.path.join(self.directory, "best_metric.json")
             tmp = meta + ".tmp"
             with open(tmp, "w") as f:
                 json.dump({"metric": self.best_metric, "mode": self.mode}, f)
             os.replace(tmp, meta)  # atomic: no truncated json on kill
-        self._save_swap("latest", tree)
+        if tree is not None:
+            self._save_swap("latest", tree)
         return improved
 
     def restore(self, state, which: str = "best"):
@@ -141,8 +167,24 @@ class CheckpointManager:
 
         self._heal(which)
         path = os.path.join(self.directory, which)
+        full = self._tree(state)
+        if which == "best":
+            # best holds the inference slice only (see _infer_tree); the
+            # except arm reads pre-split full-state best dirs
+            template = jax.tree_util.tree_map(
+                lambda x: np.zeros(x.shape, x.dtype), self._infer_tree(state)
+            )
+            try:
+                tree = self._ckpt.restore(path, item=template)
+                return state.replace(
+                    step=jax.numpy.asarray(tree["step"]),
+                    params=tree["params"],
+                    batch_stats=tree["batch_stats"],
+                )
+            except Exception:
+                pass  # legacy full-state best: fall through
         template = jax.tree_util.tree_map(
-            lambda x: np.zeros(x.shape, x.dtype), self._tree(state)
+            lambda x: np.zeros(x.shape, x.dtype), full
         )
         tree = self._ckpt.restore(path, item=template)
         return state.replace(

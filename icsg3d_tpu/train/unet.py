@@ -251,11 +251,16 @@ def train_unet(
             f"val loss {vm['loss']:.4f} f1 {vm['f1']:.3f}"
         )
         if ckpt:
+            t_save = time.time()
             improved = ckpt.save_epoch(
                 state, vm["loss"], epoch, latest_every=latest_every
             )
             if improved and plot_dir and last_val_batch is not None:
                 _save_best_plots(model, state, last_val_batch, plot_dir)
+            t_save = time.time() - t_save
+            if t_save > 5:  # the remote-fetch/plot tax hides outside the
+                # printed epoch time — see train/vae.py
+                log_fn(f"  [post-epoch] ckpt+plots {t_save:.1f}s")
     if (ckpt and epochs > 0 and latest_every > 1
             and ckpt.last_latest_epoch != epochs - 1):
         ckpt.save_latest(state)  # final save so --resume continues from the end

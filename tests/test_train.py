@@ -332,14 +332,13 @@ class TestSaveEpoch:
         ckpt = CheckpointManager(str(tmp_path / "ck"))
         latest = str(tmp_path / "ck" / "latest")
 
-        # epoch 0: metric improves (first) -> best AND latest written
+        # epoch 0: metric improves, cadence (3) not due -> best only
         assert ckpt.save_epoch(state, 5.0, epoch=0, latest_every=3)
-        assert ckpt.has("best") and ckpt.has("latest")
+        assert ckpt.has("best") and not os.path.exists(latest)
 
         # epoch 1: worse metric, cadence not due -> nothing written
         import shutil
 
-        shutil.rmtree(latest)
         assert not ckpt.save_epoch(state, 9.0, epoch=1, latest_every=3)
         assert not os.path.exists(latest)
 
@@ -348,11 +347,47 @@ class TestSaveEpoch:
         assert os.path.exists(latest)
         assert ckpt.best_metric == 5.0
 
-        # improvement always writes both regardless of cadence
+        # improvement off-cadence writes best ONLY (the cheap
+        # inference-slice fetch); latest waits for its cadence or the
+        # driver loop tail's guarded save_latest()
         shutil.rmtree(latest)
         assert ckpt.save_epoch(state, 1.0, epoch=3, latest_every=100)
-        assert os.path.exists(latest)
+        assert not os.path.exists(latest)
         assert ckpt.best_metric == 1.0
+
+    def test_best_is_inference_slice(self, tmp_path):
+        """best holds no optimizer state; latest holds the full state;
+        a legacy full-state `best` dir still restores."""
+        import numpy as np
+
+        state = self._state(tmp_path)
+        # make the live state distinguishable from a fresh template
+        state = state.replace(step=state.step + 7)
+        ckpt = CheckpointManager(str(tmp_path / "ck"))
+        assert ckpt.save_epoch(state, 5.0, epoch=0, latest_every=1)
+
+        fresh = self._state(tmp_path)
+        r_best = ckpt.restore(fresh, "best")
+        assert int(r_best.step) == int(state.step)
+        np.testing.assert_array_equal(
+            np.asarray(jax.tree_util.tree_leaves(r_best.params)[0]),
+            np.asarray(jax.tree_util.tree_leaves(state.params)[0]),
+        )
+        # opt_state stayed the template's (best carries none); latest
+        # restores the full optimizer state
+        r_latest = ckpt.restore(fresh, "latest")
+        for a, b in zip(
+            jax.tree_util.tree_leaves(r_latest.opt_state),
+            jax.tree_util.tree_leaves(state.opt_state),
+        ):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+        # legacy layout: a full-state tree saved AS `best` (pre-split
+        # checkpoints) restores through the fallback arm
+        legacy = CheckpointManager(str(tmp_path / "ck2"))
+        legacy._save_swap("best", jax.device_get(legacy._tree(state)))
+        r_legacy = legacy.restore(self._state(tmp_path), "best")
+        assert int(r_legacy.step) == int(state.step)
 
 
 class TestCheckpointCrashSafety:

@@ -9,6 +9,7 @@
 set -u
 cd /root/repo
 export JAX_COMPILATION_CACHE_DIR=/root/.cache/jax_comp_cache
+export PYTHONUNBUFFERED=1  # timely log lines under redirection
 TOTAL=${1:-60}
 CHUNK=${2:-15}
 LAYOUT=${3:-ndhwc}  # measured whole-step winner at 64^3 (ndcs_step.json r3)
@@ -36,7 +37,10 @@ while [ $done_epochs -lt $TOTAL ]; do
   args=(--data data/mix64 --ckpt checkpoints/mix64/vae
         --unet-ckpt "$UNET_CKPT"
         --epochs $n --batch-size 48 --lr 5e-4 --nrot 0
-        --layout $LAYOUT --ship-dtype float16)
+        --layout $LAYOUT --ship-dtype float16
+        --ckpt-every $n)  # full-state latest once per chunk (the loop
+                          # tail always saves it after the final epoch);
+                          # per-improvement best saves are params-only
   [ $first -eq 0 ] && args+=(--resume)
   echo "=== chunk start epochs_done=$done_epochs n=$n $(date)" >> $LOG
   timeout 3600 python -m icsg3d_tpu.apps.train_vae "${args[@]}" >> $LOG 2>&1

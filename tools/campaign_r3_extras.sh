@@ -10,6 +10,7 @@
 set -u
 cd /root/repo
 export JAX_COMPILATION_CACHE_DIR=/root/.cache/jax_comp_cache
+export PYTHONUNBUFFERED=1  # timely log lines under redirection
 LOGDIR=output/ns10k
 mkdir -p $LOGDIR
 BASE=${BASE:-$(python - <<'EOF'
