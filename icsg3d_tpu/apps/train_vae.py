@@ -63,6 +63,11 @@ def main(argv=None):
                    choices=("float32", "float16"),
                    help="wire dtype for density grids (cast to float32 on "
                         "device; float16 halves host->device bytes)")
+    p.add_argument("--resident", action="store_true",
+                   help="upload the whole train/val split to device HBM "
+                        "once and gather batches on device (zero per-epoch "
+                        "host->device traffic; requires --nrot 0 and the "
+                        "split to fit HBM — 64^3 f16 is ~0.5 MB/sample)")
     p.add_argument("--ckpt-every", type=int, default=1,
                    help="save the latest checkpoint every N epochs (best is "
                         "always saved; the full-state fetch is expensive "
@@ -140,6 +145,44 @@ def main(argv=None):
     device_coords = args.nrot == 0
     fields = ("density", "lattice") if device_coords else ("density", "coords")
 
+    if args.resident:
+        if not device_coords:
+            p.error("--resident requires --nrot 0: rotated samples carry "
+                    "axis-permuted coordinate channels that cannot rebuild "
+                    "on device and would 5x the resident bytes")
+
+        def split_host(ids):
+            rows = np.array([ds.index[i] for i in ids])
+            return {
+                "density": np.asarray(ds.arrays["density"][rows]).astype(
+                    np.dtype(args.ship_dtype)
+                ),
+                "abc": np.asarray(
+                    ds.arrays["lattice"][rows, :3], dtype=np.float32
+                ),
+                "cond": conds[rows].astype(np.float32),
+            }
+
+        t_host, v_host = split_host(train_ids), split_host(val_ids)
+        _mark("resident split materialize")
+        state, history = train_vae(
+            model, state, None, None,
+            epochs=args.epochs,
+            unet=unet,
+            unet_variables=unet_vars,
+            checkpoint_dir=args.ckpt,
+            mesh=mesh,
+            seed=args.seed,
+            plot_dir=os.path.join(args.ckpt, "plots"),
+            latest_every=args.ckpt_every,
+            remat_perceptual=args.remat_perceptual,
+            resident_data=(t_host, v_host),
+            batch_size=args.batch_size,
+            shuffle_seed=args.seed + int(state.step),
+        )
+        _finish(args, history)
+        return
+
     def batches(ids, shuffle, seed):
         rows_cond = np.stack([conds[ds.index[i]] for i in ids])
         # ONE iterator shared across epochs: its rng advances on every
@@ -177,6 +220,10 @@ def main(argv=None):
         remat_perceptual=args.remat_perceptual,
     )
 
+    _finish(args, history)
+
+
+def _finish(args, history):
     from icsg3d_tpu import viz
 
     os.makedirs(args.ckpt, exist_ok=True)

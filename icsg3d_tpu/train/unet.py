@@ -13,6 +13,7 @@ unweighted.
 
 from __future__ import annotations
 
+import functools
 import time
 from typing import Callable, Dict, Iterable, Optional, Tuple
 
@@ -161,6 +162,14 @@ def prepare_unet_batch(
 from icsg3d_tpu.train.common import mean_metrics as _mean_metrics
 
 
+@functools.lru_cache(maxsize=4)
+def _plot_forward(model):
+    """Jitted plot forward, built ONCE per model — a fresh jit per
+    improvement epoch loads a new device executable each time and leaks
+    HBM through the remote plugin (see train/vae.py _plot_forwards)."""
+    return jax.jit(lambda v, xx: model.apply(v, xx, train=False))
+
+
 def _save_best_plots(model, state, batch, plot_dir: str):
     """Best-val segmentation panels (the TrainingPlot callback,
     unet/unet.py:39-157): true vs predicted labels and binary masks."""
@@ -178,9 +187,7 @@ def _save_best_plots(model, state, batch, plot_dir: str):
     # dispatches per-op over the tunnel with eager-op remote compiles —
     # see train/vae.py _save_best_plots for the measured cost
     n = min(4, len(batch["x"]))
-    soft, sig = jax.jit(
-        lambda v, xx: model.apply(v, xx, train=False)
-    )(variables, batch["x"][:n])
+    soft, sig = _plot_forward(model)(variables, batch["x"][:n])
     pred = np.asarray(jnp.argmax(soft, axis=-1), dtype=np.float32)[..., None]
     true = np.asarray(batch["labels"][:n], np.float32)[..., None]
     viz.plot_real_vs_pred(true[:n], pred[:n], f"{plot_dir}/segmentations_best.png")

@@ -10,6 +10,7 @@ U-Net forwards + backward is one XLA program.
 
 from __future__ import annotations
 
+import functools
 import time
 from typing import Callable, Dict, Iterable, Optional, Tuple
 
@@ -148,6 +149,7 @@ def make_vae_steps(
     unet: Optional[UNet3D] = None,
     unet_variables=None,
     remat_perceptual: bool = False,
+    resident: bool = False,
 ):
     """Build (train_step, eval_step).
 
@@ -158,7 +160,16 @@ def make_vae_steps(
     remat_perceptual=True recomputes the recon-side frozen perceptual
     forward in the backward pass instead of storing its activations —
     a memory/batch-size lever for 64^3 grids.
+
+    resident=True builds steps for an HBM-resident dataset: they take
+    (state, data, idx, rng) where `data` is the whole split already on
+    device and `idx` is the batch's row indices; the batch gathers
+    INSIDE the jitted program (one HBM copy, no host traffic, no eager
+    dispatch).  See train_vae's resident_data parameter.
     """
+
+    def _gather(data, idx):
+        return {k: v[idx] for k, v in data.items()}
 
     def train_step(state: ModelState, batch, rng):
         def loss_fn(params):
@@ -176,6 +187,18 @@ def make_vae_steps(
             batch, rng, train=False,
         )
         return mets
+
+    if resident:
+        def train_step_resident(state, data, idx, rng):
+            return train_step(state, _gather(data, idx), rng)
+
+        def eval_step_resident(state, data, idx, rng):
+            return eval_step(state, _gather(data, idx), rng)
+
+        return (
+            jax.jit(train_step_resident, donate_argnums=(0,)),
+            jax.jit(eval_step_resident),
+        )
 
     return (
         jax.jit(train_step, donate_argnums=(0,)),
@@ -224,13 +247,38 @@ def prepare_vae_batch(
 from icsg3d_tpu.train.common import mean_metrics as _mean_metrics
 
 
+@functools.lru_cache(maxsize=4)
+def _plot_forwards(model):
+    """The two jitted plot forwards, built ONCE per model.
+
+    These must be cached: a fresh ``jax.jit(lambda ...)`` per improvement
+    epoch loads a new executable onto the device every time and the old
+    ones are not reliably unloaded through the remote device plugin —
+    the 64^3 resident campaign OOMed HBM after ~6 improvement epochs
+    this way.  One cache entry per model = one loaded program, and
+    re-improvements skip retracing entirely.
+    """
+    from icsg3d_tpu.models.vae import sample_prior
+
+    recon_fn = jax.jit(
+        lambda v, xx, cc: model.apply(
+            v, xx, cc, jax.random.key(0), train=False
+        )[:2]
+    )
+    # epoch rides in as an argument (not a traced-time constant) so the
+    # compiled HLO is identical across improvements -> one cache entry
+    sample_fn = jax.jit(
+        lambda v, e: sample_prior(model, v, jax.random.key(e), n_samples=1)
+    )
+    return recon_fn, sample_fn
+
+
 def _save_best_plots(model, state, batch, plot_dir: str, epoch: int):
     """Best-val visualization set (vae/lattice_vae.py:327-337):
     reconstructions, prior samples, latent KDE."""
     import os
 
     from icsg3d_tpu import viz
-    from icsg3d_tpu.models.vae import sample_prior
 
     os.makedirs(plot_dir, exist_ok=True)
     variables = {"params": state.params, "batch_stats": state.batch_stats}
@@ -243,21 +291,14 @@ def _save_best_plots(model, state, batch, plot_dir: str, epoch: int):
     # dominated the 64^3 campaign's wall-clock (~14 min/15-epoch chunk of
     # overhead in the round-3 60-epoch run).  The jitted programs hit the
     # persistent compile cache across chunk restarts.
+    recon_fn, sample_fn = _plot_forwards(model)
     n = min(4, len(x))
-    recon, z_mean = jax.jit(
-        lambda v, xx, cc: model.apply(
-            v, xx, cc, jax.random.key(0), train=False
-        )[:2]
-    )(variables, x[:n], batch["cond"][:n])
+    recon, z_mean = recon_fn(variables, x[:n], batch["cond"][:n])
     viz.plot_real_vs_pred(
         np.asarray(x[:n]), np.asarray(recon),
         f"{plot_dir}/reconstructions.png",
     )
-    # epoch rides in as an argument (not a traced-time constant) so the
-    # compiled HLO is identical across improvements -> one cache entry
-    _, samples = jax.jit(
-        lambda v, e: sample_prior(model, v, jax.random.key(e), n_samples=1)
-    )(variables, epoch)
+    _, samples = sample_fn(variables, epoch)
     viz.plot_slices(np.asarray(samples[0]), f"{plot_dir}/samples.png")
     viz.plot_latent_kde(np.asarray(z_mean), f"{plot_dir}/latent_kde.png")
 
@@ -265,8 +306,8 @@ def _save_best_plots(model, state, batch, plot_dir: str, epoch: int):
 def train_vae(
     model: ConditionalDFCVAE,
     state: ModelState,
-    train_batches: Callable[[], Iterable],
-    val_batches: Callable[[], Iterable],
+    train_batches: Optional[Callable[[], Iterable]],
+    val_batches: Optional[Callable[[], Iterable]],
     epochs: int,
     unet: Optional[UNet3D] = None,
     unet_variables=None,
@@ -277,6 +318,9 @@ def train_vae(
     plot_dir: Optional[str] = None,
     latest_every: int = 1,
     remat_perceptual: bool = False,
+    resident_data=None,
+    batch_size: Optional[int] = None,
+    shuffle_seed: int = 0,
 ):
     """Epoch loop mirroring LatticeDFCVAE.train (vae/lattice_vae.py:288-342):
     per-epoch train/val metric means, wall-clock print, best-val save (and
@@ -286,28 +330,78 @@ def train_vae(
     iterable per epoch (so shuffling and prefetch restart each epoch).
     remat_perceptual recomputes the recon-side frozen perceptual forward
     in the backward pass — the 64^3 memory lever (tools/opt64.py).
+
+    resident_data=(train_dict, val_dict) switches to the HBM-RESIDENT
+    path: both splits (host numpy dicts of per-sample arrays, e.g.
+    density/abc/cond) upload to device ONCE, replicated over the mesh,
+    and every batch gathers on device inside the jitted step from a
+    per-epoch host permutation — the only per-step host->device traffic
+    is the index vector.  Epochs over a remote device link are otherwise
+    transfer-bound (the same dataset re-ships every epoch; measured 2-3x
+    epoch wall time at 64^3).  Requires `batch_size`; `shuffle_seed`
+    keys the per-epoch permutations (fold resume progress in, exactly
+    like the streaming path's iterator seed).  train_batches/val_batches
+    are ignored and may be None.
     """
     mesh = mesh or make_mesh()
+    resident = resident_data is not None
     train_step, eval_step = make_vae_steps(
-        model, unet, unet_variables, remat_perceptual=remat_perceptual
+        model, unet, unet_variables, remat_perceptual=remat_perceptual,
+        resident=resident,
     )
     ckpt = CheckpointManager(checkpoint_dir) if checkpoint_dir else None
     key = jax.random.key(seed)
     history = []
     last_val_batch = None
+    if resident:
+        if not batch_size:
+            raise ValueError("resident_data requires batch_size")
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        t_host, v_host = resident_data
+        repl = NamedSharding(mesh, PartitionSpec())
+        t_dev = jax.device_put(t_host, repl)
+        v_dev = jax.device_put(v_host, repl) if v_host else None
+        n_train = len(next(iter(t_host.values())))
+        n_val = len(next(iter(v_host.values()))) if v_host else 0
+        idx_sharding = batch_sharding(mesh)
+        nb_val = n_val // batch_size
+        if nb_val:  # the plotted batch: the last full val batch, host-side
+            rows = np.arange((nb_val - 1) * batch_size, nb_val * batch_size)
+            last_val_batch = {k: np.asarray(v[rows]) for k, v in v_host.items()}
     for epoch in range(epochs):
         t0 = time.time()
         sharding = batch_sharding(mesh)
         train_mets = []
-        for b in prefetch_to_device(train_batches(), devices=sharding):
-            key, sub = jax.random.split(key)
-            state, m = train_step(state, b, sub)
-            train_mets.append(m)
         val_mets = []
-        for b in prefetch_to_device(val_batches(), devices=sharding):
-            key, sub = jax.random.split(key)
-            val_mets.append(eval_step(state, b, sub))
-            last_val_batch = b
+        if resident:
+            perm = np.random.default_rng(
+                (shuffle_seed, epoch)
+            ).permutation(n_train).astype(np.int32)
+            for i in range(n_train // batch_size):
+                idx = jax.device_put(
+                    perm[i * batch_size:(i + 1) * batch_size], idx_sharding
+                )
+                key, sub = jax.random.split(key)
+                state, m = train_step(state, t_dev, idx, sub)
+                train_mets.append(m)
+            for i in range(nb_val):
+                idx = jax.device_put(
+                    np.arange(i * batch_size, (i + 1) * batch_size,
+                              dtype=np.int32),
+                    idx_sharding,
+                )
+                key, sub = jax.random.split(key)
+                val_mets.append(eval_step(state, v_dev, idx, sub))
+        else:
+            for b in prefetch_to_device(train_batches(), devices=sharding):
+                key, sub = jax.random.split(key)
+                state, m = train_step(state, b, sub)
+                train_mets.append(m)
+            for b in prefetch_to_device(val_batches(), devices=sharding):
+                key, sub = jax.random.split(key)
+                val_mets.append(eval_step(state, b, sub))
+                last_val_batch = b
         tm = _mean_metrics([jax.device_get(m) for m in train_mets])
         if not tm:
             raise ValueError(

@@ -164,6 +164,90 @@ class TestVAETraining:
         assert np.isfinite(history[-1]["val"]["loss"])
 
 
+class TestResidentVAE:
+    """HBM-resident dataset path: on-device gathers must equal streamed
+    batches, and the resident driver must run end-to-end on the mesh."""
+
+    def _cond(self, dataset):
+        _, cond, _ = bin_and_encode(
+            np.asarray(dataset.arrays["target"]), VAE_CFG.cond_bins
+        )
+        return cond
+
+    def _host_split(self, dataset, cond):
+        rows = np.arange(len(dataset.ids))
+        return {
+            "density": np.asarray(
+                dataset.arrays["density"][rows], dtype=np.float32
+            ),
+            "abc": np.asarray(
+                dataset.arrays["lattice"][rows, :3], dtype=np.float32
+            ),
+            "cond": cond[rows].astype(np.float32),
+        }
+
+    def test_eval_matches_streaming(self, dataset):
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        model, state = create_vae_state(VAE_CFG, TC, jax.random.key(0))
+        _, eval_stream = make_vae_steps(model)
+        _, eval_res = make_vae_steps(model, resident=True)
+        cond = self._cond(dataset)
+        data = self._host_split(dataset, cond)
+        mesh = make_mesh(n_data=4)
+        data_dev = jax.device_put(
+            data, NamedSharding(mesh, PartitionSpec())
+        )
+        rows = np.array([1, 3, 4, 6], dtype=np.int32)
+        raw = {
+            "density": data["density"][rows],
+            "lattice": np.asarray(dataset.arrays["lattice"][rows]),
+        }
+        batch = prepare_vae_batch(raw, cond[rows], device_coords=True)
+        rng = jax.random.key(7)
+        m_stream = eval_stream(state, shard_batch(batch, mesh), rng)
+        from icsg3d_tpu.parallel import batch_sharding
+
+        idx = jax.device_put(rows, batch_sharding(mesh))
+        m_res = eval_res(state, data_dev, idx, rng)
+        for k in m_stream:
+            assert float(m_res[k]) == pytest.approx(
+                float(m_stream[k]), rel=1e-5
+            ), k
+
+    def test_resident_driver(self, dataset, tmp_path):
+        model, state = create_vae_state(VAE_CFG, TC, jax.random.key(0))
+        cond = self._cond(dataset)
+        data = self._host_split(dataset, cond)
+        state, history = train_vae(
+            model, state, None, None, epochs=2,
+            checkpoint_dir=str(tmp_path / "ck"), mesh=make_mesh(n_data=4),
+            log_fn=lambda *_: None,
+            plot_dir=str(tmp_path / "plots"),
+            resident_data=(data, data),
+            batch_size=4,
+            shuffle_seed=3,
+        )
+        assert len(history) == 2
+        assert np.isfinite(history[-1]["val"]["loss"])
+        assert history[-1]["steps"] == 2  # 8 samples / bs 4
+        ckpt = CheckpointManager(str(tmp_path / "ck"))
+        assert ckpt.has("best")
+        import os
+
+        assert os.path.exists(tmp_path / "plots" / "reconstructions.png")
+
+    def test_resident_requires_batch_size(self, dataset):
+        model, state = create_vae_state(VAE_CFG, TC, jax.random.key(0))
+        data = self._host_split(dataset, self._cond(dataset))
+        with pytest.raises(ValueError, match="batch_size"):
+            train_vae(
+                model, state, None, None, epochs=1,
+                mesh=make_mesh(n_data=4), log_fn=lambda *_: None,
+                resident_data=(data, data),
+            )
+
+
 class TestCGCNNTraining:
     def test_loss_decreases(self, rng):
         cfg = CGCNNConfig(max_atoms=8, max_neighbors=4)

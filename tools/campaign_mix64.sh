@@ -38,9 +38,12 @@ while [ $done_epochs -lt $TOTAL ]; do
         --unet-ckpt "$UNET_CKPT"
         --epochs $n --batch-size 48 --lr 5e-4 --nrot 0
         --layout $LAYOUT --ship-dtype float16
-        --ckpt-every $n)  # full-state latest once per chunk (the loop
+        --ckpt-every $n   # full-state latest once per chunk (the loop
                           # tail always saves it after the final epoch);
                           # per-improvement best saves are params-only
+        --resident)       # whole split HBM-resident: zero per-epoch
+                          # host->device traffic (the 64^3 split is
+                          # ~1 GB; epochs were measured transfer-bound)
   [ $first -eq 0 ] && args+=(--resume)
   echo "=== chunk start epochs_done=$done_epochs n=$n $(date)" >> $LOG
   timeout 3600 python -m icsg3d_tpu.apps.train_vae "${args[@]}" >> $LOG 2>&1
