@@ -46,6 +46,11 @@ def main(argv=None):
                    choices=("float32", "float16"),
                    help="wire dtype for density grids (cast to float32 on "
                         "device; float16 halves host->device bytes)")
+    p.add_argument("--resident", action="store_true",
+                   help="upload the whole train/val split to device HBM "
+                        "once and gather batches on device (zero per-epoch "
+                        "host->device traffic; requires --nrot 0 and the "
+                        "split to fit HBM)")
     p.add_argument("--ckpt-every", type=int, default=1,
                    help="save the latest checkpoint every N epochs (best is "
                         "always saved; the full-state fetch is expensive "
@@ -104,6 +109,35 @@ def main(argv=None):
         else ("density", "coords", "species")
     )
 
+    if args.resident:
+        if not device_coords:
+            p.error("--resident requires --nrot 0: rotated samples carry "
+                    "axis-permuted coordinate channels that cannot rebuild "
+                    "on device and would 5x the resident bytes")
+
+        def split_host(ids):
+            rows = np.array([ds.index[i] for i in ids])
+            raw = {k: np.asarray(ds.arrays[k][rows]) for k in fields}
+            return prepare_unet_batch(
+                raw, args.num_classes, device_coords=True,
+                ship_dtype=args.ship_dtype,
+            )
+
+        state, history = train_unet(
+            model, state, None, None,
+            epochs=args.epochs,
+            class_weights=class_weights,
+            checkpoint_dir=args.ckpt,
+            mesh=mesh,
+            plot_dir=os.path.join(args.ckpt, "plots"),
+            latest_every=args.ckpt_every,
+            resident_data=(split_host(train_ids), split_host(val_ids)),
+            batch_size=args.batch_size,
+            shuffle_seed=args.seed + int(state.step),
+        )
+        _finish(args, history)
+        return
+
     def batches(ids, shuffle, seed):
         # one iterator shared across epochs — its rng advances per
         # __iter__ so every epoch reshuffles (a fresh BatchIterator per
@@ -136,6 +170,10 @@ def main(argv=None):
         latest_every=args.ckpt_every,
     )
 
+    _finish(args, history)
+
+
+def _finish(args, history):
     from icsg3d_tpu import viz
 
     os.makedirs(args.ckpt, exist_ok=True)

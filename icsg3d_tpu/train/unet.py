@@ -98,8 +98,14 @@ def _unet_losses(model, params, batch_stats, batch, class_weights, train: bool):
     return loss, (mets, new_bs)
 
 
-def make_unet_steps(model: UNet3D, class_weights=None):
-    """Build (train_step, eval_step), both jitted with donated state."""
+def make_unet_steps(model: UNet3D, class_weights=None, resident: bool = False):
+    """Build (train_step, eval_step), both jitted with donated state.
+
+    resident=True builds steps for an HBM-resident dataset: they take
+    (state, data, idx) where `data` is the whole split already on device
+    and `idx` is the batch's row indices; the batch gathers INSIDE the
+    jitted program (see train/vae.py make_vae_steps).
+    """
     nc = model.cfg.num_classes
     cw = jnp.ones(nc) if class_weights is None else jnp.asarray(class_weights)
 
@@ -117,6 +123,21 @@ def make_unet_steps(model: UNet3D, class_weights=None):
             model, state.params, state.batch_stats, batch, cw, train=False
         )
         return mets
+
+    if resident:
+        def _gather(data, idx):
+            return {k: v[idx] for k, v in data.items()}
+
+        def train_step_resident(state, data, idx):
+            return train_step(state, _gather(data, idx))
+
+        def eval_step_resident(state, data, idx):
+            return eval_step(state, _gather(data, idx))
+
+        return (
+            jax.jit(train_step_resident, donate_argnums=(0,)),
+            jax.jit(eval_step_resident),
+        )
 
     return (
         jax.jit(train_step, donate_argnums=(0,)),
@@ -201,8 +222,8 @@ def _save_best_plots(model, state, batch, plot_dir: str):
 def train_unet(
     model: UNet3D,
     state: ModelState,
-    train_batches: Callable[[], Iterable],
-    val_batches: Callable[[], Iterable],
+    train_batches: Optional[Callable[[], Iterable]],
+    val_batches: Optional[Callable[[], Iterable]],
     epochs: int,
     class_weights=None,
     checkpoint_dir: Optional[str] = None,
@@ -210,6 +231,9 @@ def train_unet(
     log_fn=print,
     plot_dir: Optional[str] = None,
     latest_every: int = 1,
+    resident_data=None,
+    batch_size: Optional[int] = None,
+    shuffle_seed: int = 0,
 ):
     """Epoch loop with best-val checkpointing (and best-val segmentation
     plots when plot_dir is given).
@@ -219,23 +243,67 @@ def train_unet(
     per-epoch `latest` checkpoint (the full-state device fetch is expensive
     over a remote device link); a final save always runs after the last
     epoch so --resume continues from the true end.
+
+    resident_data=(train_dict, val_dict) switches to the HBM-RESIDENT
+    path: both splits upload to device once (replicated over the mesh)
+    and batches gather on device inside the jitted step from a per-epoch
+    host permutation — the only per-step host->device traffic is the
+    index vector (see train/vae.py train_vae for the measured rationale).
+    Requires `batch_size`; train_batches/val_batches are ignored.
     """
     mesh = mesh or make_mesh()
-    train_step, eval_step = make_unet_steps(model, class_weights)
+    resident = resident_data is not None
+    train_step, eval_step = make_unet_steps(
+        model, class_weights, resident=resident
+    )
     ckpt = CheckpointManager(checkpoint_dir) if checkpoint_dir else None
     history = []
     last_val_batch = None
+    if resident:
+        if not batch_size:
+            raise ValueError("resident_data requires batch_size")
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        t_host, v_host = resident_data
+        repl = NamedSharding(mesh, PartitionSpec())
+        t_dev = jax.device_put(t_host, repl)
+        v_dev = jax.device_put(v_host, repl) if v_host else None
+        n_train = len(next(iter(t_host.values())))
+        n_val = len(next(iter(v_host.values()))) if v_host else 0
+        idx_sharding = batch_sharding(mesh)
+        nb_val = n_val // batch_size
+        if nb_val:  # the plotted batch: the last full val batch, host-side
+            rows = np.arange((nb_val - 1) * batch_size, nb_val * batch_size)
+            last_val_batch = {k: np.asarray(v[rows]) for k, v in v_host.items()}
     for epoch in range(epochs):
         t0 = time.time()
         sharding = batch_sharding(mesh)
         train_mets = []
-        for b in prefetch_to_device(train_batches(), devices=sharding):
-            state, m = train_step(state, b)
-            train_mets.append(m)
         val_mets = []
-        for b in prefetch_to_device(val_batches(), devices=sharding):
-            val_mets.append(eval_step(state, b))
-            last_val_batch = b
+        if resident:
+            perm = np.random.default_rng(
+                (shuffle_seed, epoch)
+            ).permutation(n_train).astype(np.int32)
+            for i in range(n_train // batch_size):
+                idx = jax.device_put(
+                    perm[i * batch_size:(i + 1) * batch_size], idx_sharding
+                )
+                state, m = train_step(state, t_dev, idx)
+                train_mets.append(m)
+            for i in range(nb_val):
+                idx = jax.device_put(
+                    np.arange(i * batch_size, (i + 1) * batch_size,
+                              dtype=np.int32),
+                    idx_sharding,
+                )
+                val_mets.append(eval_step(state, v_dev, idx))
+        else:
+            for b in prefetch_to_device(train_batches(), devices=sharding):
+                state, m = train_step(state, b)
+                train_mets.append(m)
+            for b in prefetch_to_device(val_batches(), devices=sharding):
+                val_mets.append(eval_step(state, b))
+                last_val_batch = b
         tm = _mean_metrics([jax.device_get(m) for m in train_mets])
         if not tm:
             raise ValueError(

@@ -248,6 +248,83 @@ class TestResidentVAE:
             )
 
 
+class TestResidentUNet:
+    """HBM-resident path for the U-Net trainer (mirrors TestResidentVAE):
+    on-device gathers must equal streamed batches, driver runs end-to-end."""
+
+    def _host_split(self, dataset):
+        rows = np.arange(len(dataset.ids))
+        raw = {
+            "density": np.asarray(dataset.arrays["density"][rows]),
+            "lattice": np.asarray(dataset.arrays["lattice"][rows]),
+            "species": np.minimum(
+                np.asarray(dataset.arrays["species"][rows]),
+                UNET_CFG.num_classes - 1,
+            ),
+        }
+        return prepare_unet_batch(
+            raw, UNET_CFG.num_classes, device_coords=True,
+            ship_dtype="float32",
+        )
+
+    def test_eval_matches_streaming(self, dataset):
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        from icsg3d_tpu.parallel import batch_sharding
+
+        model, state = create_unet_state(
+            UNET_CFG, TC, jax.random.key(0), grid_d=8
+        )
+        _, eval_stream = make_unet_steps(model)
+        _, eval_res = make_unet_steps(model, resident=True)
+        data = self._host_split(dataset)
+        mesh = make_mesh(n_data=4)
+        data_dev = jax.device_put(data, NamedSharding(mesh, PartitionSpec()))
+        rows = np.array([0, 2, 5, 7], dtype=np.int32)
+        batch = {k: v[rows] for k, v in data.items()}
+        m_stream = eval_stream(state, shard_batch(batch, mesh))
+        idx = jax.device_put(rows, batch_sharding(mesh))
+        m_res = eval_res(state, data_dev, idx)
+        for k in m_stream:
+            assert float(m_res[k]) == pytest.approx(
+                float(m_stream[k]), rel=1e-5
+            ), k
+
+    def test_resident_driver(self, dataset, tmp_path):
+        model, state = create_unet_state(
+            UNET_CFG, TC, jax.random.key(0), grid_d=8
+        )
+        data = self._host_split(dataset)
+        state, history = train_unet(
+            model, state, None, None, epochs=2,
+            checkpoint_dir=str(tmp_path / "ck"), mesh=make_mesh(n_data=4),
+            log_fn=lambda *_: None,
+            plot_dir=str(tmp_path / "plots"),
+            resident_data=(data, data),
+            batch_size=4,
+            shuffle_seed=5,
+        )
+        assert len(history) == 2
+        assert np.isfinite(history[-1]["val"]["loss"])
+        ckpt = CheckpointManager(str(tmp_path / "ck"))
+        assert ckpt.has("best")
+        import os
+
+        assert os.path.exists(tmp_path / "plots" / "segmentations_best.png")
+
+    def test_resident_requires_batch_size(self, dataset):
+        model, state = create_unet_state(
+            UNET_CFG, TC, jax.random.key(0), grid_d=8
+        )
+        data = self._host_split(dataset)
+        with pytest.raises(ValueError, match="batch_size"):
+            train_unet(
+                model, state, None, None, epochs=1,
+                mesh=make_mesh(n_data=4), log_fn=lambda *_: None,
+                resident_data=(data, data),
+            )
+
+
 class TestCGCNNTraining:
     def test_loss_decreases(self, rng):
         cfg = CGCNNConfig(max_atoms=8, max_neighbors=4)
