@@ -121,14 +121,21 @@ print(GridDataset("data/mix64").ids[0])')" \
       # VERDICT r2 item 9: a short cond_repeat=4 (44-channel encoder,
       # the pinned reference width) run to show losses track the
       # cond_repeat=1 production run — the artifact repeat is inert.
+      # Perceptual net: the matched ns10k U-Net when it exists, else any
+      # trained U-Net (fully convolutional, runs at 32^3) — both arms use
+      # the SAME net, so the cr4-vs-cr1 comparison stays controlled.
+      CR_UNET=${CR_UNET:-checkpoints/ns10k/unet}
+      [ -d "$CR_UNET" ] || CR_UNET=checkpoints/mix64/unet
       run condrepeat 3600 python -m icsg3d_tpu.apps.train_vae \
         --data data/ns10k --ckpt checkpoints/ns10k/vae_cr4 \
-        --unet-ckpt checkpoints/ns10k/unet --cond-repeat 4 \
-        --epochs 25 --batch-size 128 --lr 5e-4 --nrot 0
+        --unet-ckpt "$CR_UNET" --cond-repeat 4 \
+        --epochs 25 --batch-size 128 --lr 5e-4 --nrot 0 \
+        --resident --ship-dtype float16 --ckpt-every 25
       run condrepeat_ref 3600 python -m icsg3d_tpu.apps.train_vae \
         --data data/ns10k --ckpt checkpoints/ns10k/vae_cr1 \
-        --unet-ckpt checkpoints/ns10k/unet \
-        --epochs 25 --batch-size 128 --lr 5e-4 --nrot 0
+        --unet-ckpt "$CR_UNET" \
+        --epochs 25 --batch-size 128 --lr 5e-4 --nrot 0 \
+        --resident --ship-dtype float16 --ckpt-every 25
       ;;
     *) echo "unknown stage $stage" >&2; exit 1 ;;
   esac
