@@ -101,6 +101,39 @@ def main(argv=None):
         class_weights = inverse_frequency_weights(species, args.num_classes)
         class_weights[0] = 0.0
 
+    # Persist the weight vector next to the checkpoint: the weighted loss
+    # VALUE scales with these weights (they depend on the data build), so
+    # without this record losses are incomparable across builds/rounds —
+    # the round-3 anomaly (COVERAGE.md).  On --resume a drifted vector
+    # means the data build changed under the checkpoint: warn loudly.
+    import json
+
+    os.makedirs(args.ckpt, exist_ok=True)
+    cw_path = os.path.join(args.ckpt, "class_weights.json")
+    cw_list = None if class_weights is None else [float(w) for w in class_weights]
+    if resuming and os.path.exists(cw_path):
+        with open(cw_path) as f:
+            prev = json.load(f).get("class_weights")
+        if prev is not None and cw_list is not None and not np.allclose(
+            prev, cw_list, rtol=1e-6
+        ):
+            rel = float(np.max(np.abs(np.array(prev) - np.array(cw_list))
+                               / np.maximum(np.abs(np.array(prev)), 1e-12)))
+            print(
+                f"WARNING: class weights recomputed from {args.data} differ "
+                f"from the vector this checkpoint was trained with (max rel "
+                f"diff {rel:.3g}) — weighted losses will NOT be comparable "
+                f"to earlier epochs; compare the 'ce' (unweighted) metric "
+                f"instead"
+            )
+    with open(cw_path, "w") as f:
+        json.dump(
+            {"class_weights": cw_list, "num_classes": args.num_classes,
+             "data": args.data, "n_weight_samples": 0 if args.no_class_weights
+             else len(rows)},
+            f,
+        )
+
     # Non-rotated datasets rebuild coordinate channels on device (4x less
     # host->device traffic); rotated grids must ship their permuted coords.
     device_coords = args.nrot == 0

@@ -6,7 +6,15 @@ import numpy as np
 
 
 def mean_metrics(history):
-    """Mean of each metric over a list of per-step metric dicts."""
+    """Mean of each metric over a list of per-step metric dicts.
+
+    Scalar metrics reduce to python floats; vector metrics (e.g. per-class
+    CE sums/counts) mean elementwise and stay JSON-safe lists.
+    """
     if not history:
         return {}
-    return {k: float(np.mean([h[k] for h in history])) for k in history[0]}
+    out = {}
+    for k in history[0]:
+        m = np.mean(np.stack([np.asarray(h[k]) for h in history]), axis=0)
+        out[k] = float(m) if m.ndim == 0 else m.astype(float).tolist()
+    return out

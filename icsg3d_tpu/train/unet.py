@@ -88,10 +88,27 @@ def _unet_losses(model, params, batch_stats, batch, class_weights, train: bool):
     l_sig = jnp.mean(losses.binary_crossentropy_from_logits(sig, y_sig))
     loss = l_soft + l_sig
     probs = jax.nn.softmax(soft, axis=-1)
+    # Unweighted CE + per-class CE alongside the weighted loss: the weighted
+    # loss VALUE scales with the class-weight vector (which depends on the
+    # data build), so it is not comparable across builds — these are
+    # (the round-3 U-Net loss-scale anomaly; tools/loss_scale_probe.py).
+    nc = soft.shape[-1]
+    p_true = jnp.clip(
+        jnp.take_along_axis(probs, labels[..., None].astype(jnp.int32),
+                            axis=-1)[..., 0],
+        losses.KERAS_EPSILON, 1.0 - losses.KERAS_EPSILON,
+    )
+    nll = -jnp.log(p_true)
+    flat_l = labels.ravel().astype(jnp.int32)
+    cls_nll = jnp.zeros(nc, jnp.float32).at[flat_l].add(nll.ravel())
+    cls_cnt = jnp.zeros(nc, jnp.float32).at[flat_l].add(1.0)
     mets = {
         "loss": loss,
         "loss_soft": l_soft,
         "loss_sig": l_sig,
+        "ce": jnp.mean(nll),
+        "ce_class_sum": cls_nll,   # ratio taken after batch averaging
+        "class_count": cls_cnt,    # (train_unet history assembly)
         "f1": metrics.f1_score_from_labels(labels, probs),
         "weighted_recall": metrics.weighted_recall_from_labels(labels, probs),
     }
@@ -181,6 +198,19 @@ def prepare_unet_batch(
 
 
 from icsg3d_tpu.train.common import mean_metrics as _mean_metrics
+
+
+def _fold_per_class_ce(mets: dict) -> dict:
+    """Replace the (ce_class_sum, class_count) accumulator vectors with the
+    per-class mean CE — mean-of-sums / mean-of-counts over the epoch's
+    batches == ratio of epoch totals, so classes absent from some batches
+    are weighted correctly."""
+    if "ce_class_sum" not in mets:
+        return mets
+    s = np.asarray(mets.pop("ce_class_sum"))
+    c = np.asarray(mets.pop("class_count"))
+    mets["ce_per_class"] = (s / np.maximum(c, 1.0)).tolist()
+    return mets
 
 
 @functools.lru_cache(maxsize=4)
@@ -319,11 +349,14 @@ def train_unet(
                     "and best-checkpoint selection is overfitting-blind"
                 )
             vm = tm
+        tm = _fold_per_class_ce(tm)
+        vm = _fold_per_class_ce(vm)
         history.append({"train": tm, "val": vm, "time": time.time() - t0})
         log_fn(
             f"epoch {epoch}: time {history[-1]['time']:.2f}s "
-            f"train loss {tm['loss']:.4f} f1 {tm['f1']:.3f} | "
-            f"val loss {vm['loss']:.4f} f1 {vm['f1']:.3f}"
+            f"train loss {tm['loss']:.4f} ce {tm['ce']:.4f} "
+            f"f1 {tm['f1']:.3f} | "
+            f"val loss {vm['loss']:.4f} ce {vm['ce']:.4f} f1 {vm['f1']:.3f}"
         )
         if ckpt:
             t_save = time.time()

@@ -286,9 +286,10 @@ class TestResidentUNet:
         idx = jax.device_put(rows, batch_sharding(mesh))
         m_res = eval_res(state, data_dev, idx)
         for k in m_stream:
-            assert float(m_res[k]) == pytest.approx(
-                float(m_stream[k]), rel=1e-5
-            ), k
+            np.testing.assert_allclose(
+                np.asarray(m_res[k]), np.asarray(m_stream[k]),
+                rtol=1e-5, atol=1e-7, err_msg=k,
+            )
 
     def test_resident_driver(self, dataset, tmp_path):
         model, state = create_unet_state(

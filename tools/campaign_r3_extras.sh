@@ -83,7 +83,8 @@ for stage in ${*:-eval generate adjudicate}; do
       while [ $done_e -lt $total ]; do
         n=10; rem=$((total - done_e)); [ $rem -lt $n ] && n=$rem
         uargs=(--data data/mix64 --ckpt checkpoints/mix64/unet
-               --batch-size 8 --lr 3e-6 --nrot 0 --epochs $n)
+               --batch-size 8 --lr 3e-6 --nrot 0 --epochs $n
+               --resident --ship-dtype float16 --ckpt-every $n)
         [ $first -eq 0 ] && uargs+=(--resume)
         echo "=== unet64 chunk start epochs_done=$done_e n=$n $(date)" \
           >> $LOGDIR/unet64.log
