@@ -38,6 +38,11 @@ def main(argv=None):
                         "halved once per block, so small --d needs fewer")
     p.add_argument("--alpha", type=float, default=0.5)
     p.add_argument("--beta", type=float, default=3e-4)
+    p.add_argument("--kld-floor", type=float, default=0.0,
+                   help="free-bits floor on the per-sample KLD (nats): the "
+                        "beta term becomes beta*max(kld, floor), so the "
+                        "prior stops compressing below the floor; 0 = off "
+                        "(exact reference loss)")
     p.add_argument("--cond-bins", type=int, default=10)
     p.add_argument("--cond-repeat", type=int, default=1,
                    help="channel-repeat of the condition block; 4 "
@@ -98,6 +103,7 @@ def main(argv=None):
     grid = GridSpec(d=args.d)
     cfg = VAEConfig(
         grid=grid, latent_dim=args.latent, alpha=args.alpha, beta=args.beta,
+        kld_floor=args.kld_floor,
         cond_bins=args.cond_bins, filters=common.parse_filters(args.filters),
         layout=args.layout, cond_repeat=args.cond_repeat,
     )

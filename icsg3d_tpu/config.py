@@ -133,6 +133,13 @@ class VAEConfig:
     cond_repeat: int = 1
     alpha: float = 0.5          # perceptual-loss weight (vae/lattice_vae.py:97)
     beta: float = 3e-4          # KLD weight (vae/lattice_vae.py:96)
+    # Free-bits floor on the per-sample KLD (nats): the beta-weighted term
+    # becomes beta * max(kld, kld_floor), so once a sample's KLD drops to
+    # the floor the prior stops pulling it down and reconstruction pressure
+    # sets the equilibrium.  0 = off (exact reference loss).  Lever for the
+    # round-3 finding that a low KLD equilibrium (~20 vs round 2's ~69)
+    # decodes fringier densities and costs generation charge balance.
+    kld_floor: float = 0.0
     leaky_slope: float = 0.3    # Keras LeakyReLU default alpha
     bn_momentum: float = 0.99
     bn_epsilon: float = 1e-3

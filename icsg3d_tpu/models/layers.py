@@ -179,18 +179,21 @@ class SpatialMajorConv(nn.Module):
 
 
 def max_pool_ndcs(x, hw: Tuple[int, int], window: int = 2):
-    """2x2x2 max pool on (B, D, C, H*W) activations -> (B, D/2, C, HW/4)."""
+    """2x2x2 max pool on (B, D, C, H*W) activations -> (B, D/2, C, HW/4).
+
+    Pure reshape + reduce: the flat lane index s = h*W + w splits
+    row-major into (H/2, 2, W/2, 2) = (i, dh, j, dw) because
+    s = i*(2W) + dh*W + j*2 + dw, so no transpose (and hence no HBM
+    relayout of the activation — the old transpose-to-NDHWC form cost a
+    full round-trip per pool) is needed; XLA fuses the windowed max into
+    a single pass over the layout the conv kernel already emits.
+    """
     b, d, c, s = x.shape
     h, w = hw
-    x5 = x.reshape(b, d, c, h, w)
-    y = nn.max_pool(
-        x5.transpose(0, 1, 3, 4, 2),
-        window_shape=(window, window, window),
-        strides=(window, window, window),
-    )
-    return y.transpose(0, 1, 4, 2, 3).reshape(
-        b, d // window, c, (h // window) * (w // window)
-    )
+    x8 = x.reshape(b, d // window, window, c, h // window, window,
+                   w // window, window)
+    y = x8.max(axis=(2, 5, 7))
+    return y.reshape(b, d // window, c, s // (window * window))
 
 
 def upsample_ndcs(x, hw: Tuple[int, int], factor: int = 2):

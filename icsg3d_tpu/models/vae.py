@@ -65,15 +65,6 @@ class Encoder(nn.Module):
         x = x.astype(dtype)
         ndcs = cfg.layout == "ndcs"
         s = x.shape[1]
-        # one source of truth for the cond_repeat quirk (config.py): build
-        # the condition block in NDHWC and transpose with the activations
-        # — the hand-built ndcs tile this replaces had to mirror the
-        # channel ordering exactly or silently break cross-layout
-        # checkpoint compatibility
-        cond_block = broadcast_condition(
-            cond.astype(dtype), x.shape[1:-1], repeat=cfg.cond_repeat
-        )
-        x = jnp.concatenate([x, cond_block], axis=-1)
         in_ndcs = False
 
         for i, f in enumerate(cfg.filters):
@@ -86,6 +77,30 @@ class Encoder(nn.Module):
             if in_ndcs and not lowc_supported(s, s):
                 x = from_ndcs(x, s, s)
                 in_ndcs = False
+            if i == 0:
+                # Append the condition channels in the CURRENT layout,
+                # AFTER the layout entry: concatenating in NDHWC first
+                # would materialize the wide (x + cond_repeat*bins)
+                # lane-padded tensor that the spatial-major layout
+                # exists to avoid — at 64^3 that concat alone is 8x the
+                # bytes of its ndcs form.  Channel ORDER is identical in
+                # both branches ([x..., cond...]; ndcs axis=2 is the
+                # channel axis), so checkpoints stay layout-portable.
+                cnd = cond.astype(dtype)
+                if cfg.cond_repeat != 1:
+                    cnd = jnp.tile(cnd, (1, cfg.cond_repeat))
+                if in_ndcs:
+                    b_, d_, _, s_ = x.shape
+                    blk = jnp.broadcast_to(
+                        cnd[:, None, :, None],
+                        (b_, d_, cnd.shape[-1], s_),
+                    )
+                    x = jnp.concatenate([x, blk], axis=2)
+                else:
+                    x = jnp.concatenate(
+                        [x, broadcast_condition(cnd, x.shape[1:-1])],
+                        axis=-1,
+                    )
             if in_ndcs:
                 x = SpatialMajorConv(
                     f, hw=(s, s), dtype=dtype, name=f"Conv_{i}",

@@ -134,7 +134,10 @@ def _vae_losses(
         )
     else:
         pm = jnp.zeros_like(mse)
-    total = jnp.mean(mse + cfg.alpha * pm + cfg.beta * kld)
+    kld_term = (
+        jnp.maximum(kld, cfg.kld_floor) if cfg.kld_floor > 0 else kld
+    )
+    total = jnp.mean(mse + cfg.alpha * pm + cfg.beta * kld_term)
     mets = {
         "loss": total,
         "mse": jnp.mean(mse),

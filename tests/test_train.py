@@ -121,6 +121,45 @@ class TestVAETraining:
         assert float(mets["loss"]) < first
         assert float(mets["kld"]) >= 0
 
+    def test_kld_floor_free_bits(self, dataset):
+        """With kld_floor above the operating KLD, the total gains exactly
+        beta*(floor - kld) and the KLD gradient pressure vanishes (the
+        metrics still report the TRUE kld, not the floored term)."""
+        from icsg3d_tpu.train.vae import _vae_losses
+
+        _, cond, _ = bin_and_encode(
+            np.asarray(dataset.arrays["target"]), VAE_CFG.cond_bins
+        )
+        it = BatchIterator(
+            dataset, dataset.ids, 4, fields=("density", "coords"),
+            extra={"cond": cond},
+        )
+        batch = prepare_vae_batch(next(iter(it)), next(iter(it))["cond"])
+        rng = jax.random.key(3)
+
+        def total(cfg):
+            model, state = create_vae_state(cfg, TC, jax.random.key(0))
+            t, (mets, _) = _vae_losses(
+                model, None, None, state.params, state.batch_stats,
+                batch, rng, train=False,
+            )
+            return float(t), {k: float(v) for k, v in mets.items()}
+
+        base, mets0 = total(VAE_CFG)
+        # well above every per-sample KLD so mean(max(kld_i, floor)) == floor
+        floor = mets0["kld"] + 100.0
+        import dataclasses
+
+        floored, mets1 = total(
+            dataclasses.replace(VAE_CFG, kld_floor=floor)
+        )
+        # same params/batch/rng -> identical mse/pm/kld; the only delta is
+        # the floored beta term
+        assert np.isclose(mets1["kld"], mets0["kld"], rtol=1e-5)
+        assert np.isclose(
+            floored - base, VAE_CFG.beta * (floor - mets0["kld"]), rtol=1e-4
+        )
+
     def test_dfc_loss_uses_unet(self, dataset):
         """With a perceptual net attached the loss gains a nonzero PM term."""
         vae_cfg = VAE_CFG

@@ -1,0 +1,114 @@
+#!/bin/bash
+# Round-4 follow-on campaign — queues behind tools/campaign_r4_64.sh on
+# the single tunneled chip and runs, in order:
+#
+#   bench64   kernel smoke gate + 64^3 DFC whole-step layout bench
+#             (VERDICT r3 item 4 measurement of the resident ndcs path)
+#   realcif   the realistic third-party-CIF end-to-end campaign
+#             (tools/campaign_realcif.sh, VERDICT r3 item 2)
+#   unet      full 50-epoch ns10k U-Net (replaces the 5-epoch leftover;
+#             perceptual + segmentation net for the stages below)
+#   vaefb     DFC-VAE with --kld-floor (free bits) at the round-2 KLD
+#             equilibrium (~70 nats) — VERDICT r3 item 5's lever to
+#             recover generation charge balance
+#   evalfb    evaluate the floor-VAE over the whole val split
+#   genfb     1000-sample generation -> charge-balance count
+#
+#   nohup bash tools/campaign_r4_followon.sh > output/ns10k/r4_followon.log 2>&1 &
+#
+# Stages are fresh processes (axon host-RAM leak, CLAUDE.md).
+set -u
+cd /root/repo
+export JAX_COMPILATION_CACHE_DIR=/root/.cache/jax_comp_cache
+export PYTHONUNBUFFERED=1
+LOGDIR=output/ns10k
+DRIVER=$LOGDIR/r4_followon_driver.log
+mkdir -p $LOGDIR
+KLD_FLOOR=${KLD_FLOOR:-70}
+
+stamp() { echo "=== $1 $(date)" | tee -a $DRIVER; }
+
+# Wait for the 64^3 campaign to release the chip (liveness poll only —
+# never kill anything).  The campaign writes "campaign_r4_64 complete"
+# on success; a crashed campaign just stops having a live process.
+wait_for_chip() {
+  local pid=${CAMPAIGN64_PID:-}
+  [ -z "$pid" ] && pid=$(cat /tmp/campaign64.pid 2>/dev/null || true)
+  if [ -n "$pid" ]; then
+    stamp "waiting for campaign_r4_64 (pid $pid)"
+    while kill -0 "$pid" 2>/dev/null; do sleep 60; done
+  fi
+  stamp "chip free"
+}
+
+run() {  # run <name> <timeout> <cmd...>
+  local name=$1 to=$2; shift 2
+  stamp "$name start"
+  timeout "$to" "$@" > $LOGDIR/$name.log 2>&1
+  local rc=$?
+  stamp "$name rc=$rc"
+  return $rc
+}
+
+wait_for_chip
+
+for stage in ${*:-bench64 realcif unet vaefb evalfb genfb}; do
+  case $stage in
+    bench64)
+      # smoke gate first: the layout/pool changes feed the Pallas path
+      run smoke_followon 1800 python tools/tpu_kernel_smoke.py || exit 1
+      NDCS_BENCH_CONFIGS=64 NDCS_BENCH_LAYOUTS=ndhwc,ndcs,mixed \
+      NDCS_BENCH_UNET=0 NDCS_BENCH_GEN=0 \
+        run bench64 3600 python tools/ndcs_step_bench.py
+      ;;
+    realcif)
+      bash tools/campaign_realcif.sh || stamp "realcif FAILED (continuing)"
+      ;;
+    unet)
+      bash tools/campaign_ns10k.sh unet || exit 1
+      ;;
+    vaefb)
+      done_e=0; first=1; fails=0; total=${VAEFB_EPOCHS:-250}
+      while [ $done_e -lt $total ]; do
+        n=50; rem=$((total - done_e)); [ $rem -lt $n ] && n=$rem
+        vargs=(--data data/ns10k --ckpt checkpoints/ns10k/vae_fb
+               --unet-ckpt checkpoints/ns10k/unet
+               --kld-floor $KLD_FLOOR
+               --batch-size 128 --lr 5e-4 --nrot 0 --epochs $n
+               --resident --ship-dtype float16 --ckpt-every $n)
+        [ $first -eq 0 ] && vargs+=(--resume)
+        echo "=== vaefb chunk start epochs_done=$done_e n=$n $(date)" \
+          >> $LOGDIR/vaefb.log
+        timeout 3600 python -m icsg3d_tpu.apps.train_vae "${vargs[@]}" \
+          >> $LOGDIR/vaefb.log 2>&1
+        rc=$?
+        echo "=== vaefb chunk rc=$rc $(date)" >> $LOGDIR/vaefb.log
+        if [ $rc -ne 0 ]; then
+          fails=$((fails + 1)); [ $fails -ge 5 ] && exit 1
+          sleep 120; continue
+        fi
+        fails=0; done_e=$((done_e + n)); first=0
+      done
+      stamp "vaefb complete"
+      ;;
+    evalfb)
+      run evalfb 3600 python -m icsg3d_tpu.apps.evaluate \
+        --data data/ns10k --vae-ckpt checkpoints/ns10k/vae_fb \
+        --unet-ckpt checkpoints/ns10k/unet --batch-size 100 \
+        --output $LOGDIR/eval_fb.json --plots $LOGDIR/evalfb_plots
+      ;;
+    genfb)
+      BASE=$(python -c '
+from icsg3d_tpu.data.store import GridDataset
+print(GridDataset("data/ns10k").ids[0])')
+      run genfb 5400 python -m icsg3d_tpu.apps.generate \
+        --data data/ns10k --base "$BASE" \
+        --vae-ckpt checkpoints/ns10k/vae_fb \
+        --unet-ckpt checkpoints/ns10k/unet \
+        --nsamples 1000 --batch-size 100 --var 0.5 \
+        --output $LOGDIR/generated_fb
+      ;;
+    *) echo "unknown stage $stage" >&2; exit 1 ;;
+  esac
+done
+stamp "campaign_r4_followon complete"
