@@ -26,6 +26,10 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import numpy as np
@@ -52,7 +56,13 @@ def main(argv=None):
     p.add_argument("--split-frac", type=float, default=0.8)
     p.add_argument("--nrot", type=int, default=0)
     p.add_argument("--out", default=None)
+    p.add_argument("--cpu", action="store_true",
+                   help="force the CPU backend (the axon boot hook pins "
+                        "JAX_PLATFORMS=axon, so the env var alone cannot)")
     args = p.parse_args(argv)
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
 
     ds = GridDataset(args.data)
     train_ids, val_ids = data_split(
@@ -79,7 +89,7 @@ def main(argv=None):
     cfg = UNetConfig(num_classes=args.num_classes)
     tc = TrainConfig(batch_size=args.batch_size, learning_rate=3e-6, epochs=0)
     model, state = create_unet_state(
-        cfg, tc, jax.random.key(0), ds.grid_d, abstract=True
+        cfg, tc, jax.random.key(0), int(ds.d), abstract=True
     )
     state = CheckpointManager(args.ckpt).restore(state, "best")
 

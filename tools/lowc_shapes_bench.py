@@ -90,6 +90,31 @@ def xla_conv(x, w):
     ).astype(x.dtype)
 
 
+def xla_conv_nopref(x, w):
+    # no preferred_element_type: under jax.grad it would make the
+    # cotangent f32 against a bf16 kernel (the lax.conv transpose-rule
+    # dtype trap documented in models/layers.py)
+    return jax.lax.conv_general_dilated(
+        x, w.astype(x.dtype), (1, 1, 1), "SAME",
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+    )
+
+
+def fwd_bwd(conv):
+    """fn(x, w) -> dx (with dw kept live): times forward+dx+dw in one
+    jitted program — the per-shape decomposition of the round-3 finding
+    that the Pallas backward loses to XLA's kernel-gradient conv."""
+
+    def f(x, w):
+        dx, dw = jax.grad(
+            lambda a, b: jnp.sum(conv(a, b).astype(jnp.float32)),
+            argnums=(0, 1),
+        )(x, w)
+        return dx + (1e-30 * jnp.sum(dw)).astype(dx.dtype)
+
+    return f
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--bs", type=int, default=48)
@@ -97,6 +122,9 @@ def main():
     ap.add_argument("--pallas", action="store_true")
     ap.add_argument("--raw", action="store_true",
                     help="also time the ndcs-layout kernel w/o transposes")
+    ap.add_argument("--grad", action="store_true",
+                    help="also time fwd+dx+dw: XLA kernel-grad conv vs the "
+                         "Pallas custom-vjp (conv_ndcs) per shape")
     ap.add_argument("--only", type=str, default=None)
     ap.add_argument("--out", default="output/ns10k/lowc_shapes.json")
     args = ap.parse_args()
@@ -142,6 +170,33 @@ def main():
                     row["pallas_speedup"] = round(row["xla_ms"] / row["pallas_ms"], 3)
             except Exception as e:  # noqa: BLE001
                 row["pallas_error"] = str(e)[:300]
+        if args.grad:
+            gf3 = 3 * gf  # fwd + dx + dw, each ~the forward's FLOPs
+            try:
+                dt = chain_time(fwd_bwd(xla_conv_nopref), x, w)
+                row["xla_grad_ms"] = round(dt * 1e3, 3)
+                row["xla_grad_pct_peak"] = round(
+                    100 * gf3 / 1e3 / dt / (PEAK / 1e12), 1
+                )
+            except Exception as e:  # noqa: BLE001
+                row["xla_grad_error"] = str(e)[:200]
+            try:
+                from icsg3d_tpu.ops.lowc_conv import conv_ndcs, to_ndcs
+
+                xt = to_ndcs(x)
+                bz = jnp.zeros((cout,), jnp.float32)
+                conv = lambda a, ww: conv_ndcs(a, ww, bz, (s, s))  # noqa: E731
+                dt = chain_time(fwd_bwd(conv), xt, w)
+                row["ndcs_grad_ms"] = round(dt * 1e3, 3)
+                row["ndcs_grad_pct_peak"] = round(
+                    100 * gf3 / 1e3 / dt / (PEAK / 1e12), 1
+                )
+                if "xla_grad_ms" in row:
+                    row["grad_speedup"] = round(
+                        row["xla_grad_ms"] / row["ndcs_grad_ms"], 3
+                    )
+            except Exception as e:  # noqa: BLE001
+                row["ndcs_grad_error"] = str(e)[:300]
         if args.raw:
             try:
                 from icsg3d_tpu.ops.lowc_conv import (
