@@ -68,6 +68,13 @@ def main(argv=None):
                    choices=("float32", "float16"),
                    help="wire dtype for density grids (cast to float32 on "
                         "device; float16 halves host->device bytes)")
+    p.add_argument("--cache-true-features", action="store_true",
+                   help="precompute the frozen U-Net's true-grid perceptual "
+                        "taps ONCE for the resident train split and gather "
+                        "them per batch - skips one of the two U-Net "
+                        "forwards every step with bitwise-identical loss. "
+                        "Requires --resident and --unet-ckpt; needs "
+                        "~1.2 MB/sample HBM at 32^3 (gated at 12 GB)")
     p.add_argument("--resident", action="store_true",
                    help="upload the whole train/val split to device HBM "
                         "once and gather batches on device (zero per-epoch "
@@ -77,6 +84,11 @@ def main(argv=None):
                    help="save the latest checkpoint every N epochs (best is "
                         "always saved; the full-state fetch is expensive "
                         "over a remote device link)")
+    p.add_argument("--plot-every", type=int, default=1,
+                   help="min epochs between best-val plot refreshes; early "
+                        "training improves val nearly every epoch and each "
+                        "refresh costs a device fetch (and leaks through "
+                        "the remote plugin)")
     p.add_argument("--resume", action="store_true",
                    help="resume from the latest checkpoint in --ckpt")
     p.add_argument("--ckpt", default="checkpoints/vae")
@@ -151,11 +163,25 @@ def main(argv=None):
     device_coords = args.nrot == 0
     fields = ("density", "lattice") if device_coords else ("density", "coords")
 
+    if args.cache_true_features and not (args.resident and unet):
+        p.error("--cache-true-features requires --resident and --unet-ckpt")
+
     if args.resident:
         if not device_coords:
             p.error("--resident requires --nrot 0: rotated samples carry "
                     "axis-permuted coordinate channels that cannot rebuild "
                     "on device and would 5x the resident bytes")
+        if args.cache_true_features:
+            from icsg3d_tpu.train.vae import true_feature_cache_bytes
+
+            need = true_feature_cache_bytes(model, unet, unet_vars,
+                                            len(train_ids))
+            if need > 12e9:
+                p.error(
+                    f"--cache-true-features needs {need / 1e9:.1f} GB HBM "
+                    f"for {len(train_ids)} samples (gate: 12 GB) - use a "
+                    "smaller --samples or drop the flag"
+                )
 
         def split_host(ids):
             rows = np.array([ds.index[i] for i in ids])
@@ -181,10 +207,12 @@ def main(argv=None):
             seed=args.seed,
             plot_dir=os.path.join(args.ckpt, "plots"),
             latest_every=args.ckpt_every,
+            plot_min_interval=args.plot_every,
             remat_perceptual=args.remat_perceptual,
             resident_data=(t_host, v_host),
             batch_size=args.batch_size,
             shuffle_seed=args.seed + int(state.step),
+            cache_true_features=args.cache_true_features,
         )
         _finish(args, history)
         return
@@ -223,6 +251,7 @@ def main(argv=None):
         seed=args.seed,
         plot_dir=os.path.join(args.ckpt, "plots"),
         latest_every=args.ckpt_every,
+        plot_min_interval=args.plot_every,
         remat_perceptual=args.remat_perceptual,
     )
 

@@ -99,6 +99,18 @@ def _vae_losses(
 ):
     cfg = model.cfg
     batch = dict(batch)
+    # Pre-gathered true-grid perceptual features (cache_true_features):
+    # the U-Net is FROZEN and the dataset fixed, so f_true is a
+    # per-sample constant — when the batch carries pfeat_<tap> entries
+    # (gathered from the epoch-invariant cache) the true-side U-Net
+    # forward is skipped entirely.  Bitwise-identical loss either way
+    # (tests/test_train.py::TestCachedFeatures).
+    pf_keys = [f"pfeat_{i}" for i in cfg.perceptual_taps]
+    f_true_cached = (
+        [batch[k] for k in pf_keys]
+        if all(k in batch for k in pf_keys)
+        else None
+    )
     batch["x"] = _assemble_x(batch, cfg.grid)
     variables = {"params": params, "batch_stats": batch_stats}
     if train:
@@ -125,8 +137,12 @@ def _vae_losses(
         )
         if remat_perceptual:
             pred_feats = jax.checkpoint(pred_feats)
-        f_true = _perceptual_features(
-            unet, unet_variables, batch["x"], cfg.perceptual_taps
+        f_true = (
+            f_true_cached
+            if f_true_cached is not None
+            else _perceptual_features(
+                unet, unet_variables, batch["x"], cfg.perceptual_taps
+            )
         )
         f_pred = pred_feats(recon)
         pm = losses.perceptual_feature_loss(
@@ -206,6 +222,84 @@ def make_vae_steps(
     return (
         jax.jit(train_step, donate_argnums=(0,)),
         jax.jit(eval_step),
+    )
+
+
+def precompute_true_features(
+    model: ConditionalDFCVAE, unet: UNet3D, unet_variables,
+    data_dev, batch_size: int,
+):
+    """True-grid perceptual tap activations for a whole resident split.
+
+    The DFC loss compares U-Net features of the TRUE grid against the
+    reconstruction's every step (vae/lattice_vae.py:241-270) — but the
+    U-Net is frozen and the dataset fixed, so the true side is a
+    per-sample constant recomputed identically every epoch.  This runs
+    that forward ONCE per sample (one lax.map over the resident split,
+    executed on device) and returns {"pfeat_<tap>": (N, ...)} device
+    arrays to merge into the resident data dict; the jitted step then
+    gathers feature rows with the same index vector as the data rows.
+
+    Cost: one truncated U-Net forward per sample for the entire
+    training run, vs one per sample per epoch (250x for the reference
+    schedule).  HBM: ~1.24 MB/sample bf16 at 32^3 (9.9 GB for the 10k
+    campaign's 8k-sample train split) — the caller gates on this.
+    """
+    cfg = model.cfg
+    n = len(next(iter(data_dev.values())))
+    nb = -(-n // batch_size)
+    pad = nb * batch_size - n
+
+    fields = {
+        k: v for k, v in data_dev.items()
+        if k in ("density", "abc", "coords", "x")
+    }
+
+    @jax.jit
+    def _all_feats(fields):
+        batched = jax.tree_util.tree_map(
+            lambda v: jnp.concatenate([v, v[:pad]]).reshape(
+                (nb, batch_size) + v.shape[1:]
+            ),
+            fields,
+        )
+
+        def body(b):
+            x = _assemble_x(dict(b), cfg.grid)
+            return tuple(
+                _perceptual_features(
+                    unet, unet_variables, x, cfg.perceptual_taps
+                )
+            )
+
+        feats = jax.lax.map(body, batched)
+        return tuple(
+            f.reshape((nb * batch_size,) + f.shape[2:])[:n] for f in feats
+        )
+
+    feats = _all_feats(fields)
+    return {
+        f"pfeat_{tap}": f
+        for tap, f in zip(cfg.perceptual_taps, feats)
+    }
+
+
+def true_feature_cache_bytes(
+    model: ConditionalDFCVAE, unet: UNet3D, unet_variables, n_samples: int,
+) -> int:
+    """Exact HBM bytes the feature cache would occupy for n_samples,
+    from an abstract trace (no device work)."""
+    cfg = model.cfg
+    d = cfg.grid.d
+    x = jax.ShapeDtypeStruct((1, d, d, d, cfg.grid.channels), jnp.float32)
+    outs = jax.eval_shape(
+        lambda xx: _perceptual_features(
+            unet, unet_variables, xx, cfg.perceptual_taps
+        ),
+        x,
+    )
+    return n_samples * sum(
+        int(np.prod(o.shape[1:])) * o.dtype.itemsize for o in outs
     )
 
 
@@ -324,6 +418,8 @@ def train_vae(
     resident_data=None,
     batch_size: Optional[int] = None,
     shuffle_seed: int = 0,
+    cache_true_features: bool = False,
+    plot_min_interval: int = 1,
 ):
     """Epoch loop mirroring LatticeDFCVAE.train (vae/lattice_vae.py:288-342):
     per-epoch train/val metric means, wall-clock print, best-val save (and
@@ -356,6 +452,7 @@ def train_vae(
     key = jax.random.key(seed)
     history = []
     last_val_batch = None
+    _last_plot_epoch = [-plot_min_interval]  # epoch 0 may plot
     if resident:
         if not batch_size:
             raise ValueError("resident_data requires batch_size")
@@ -365,6 +462,19 @@ def train_vae(
         repl = NamedSharding(mesh, PartitionSpec())
         t_dev = jax.device_put(t_host, repl)
         v_dev = jax.device_put(v_host, repl) if v_host else None
+        if cache_true_features and unet is not None:
+            feats = precompute_true_features(
+                model, unet, unet_variables, t_dev, batch_size
+            )
+            t_dev = dict(t_dev)
+            t_dev.update(
+                {k: jax.device_put(v, repl) for k, v in feats.items()}
+            )
+            log_fn(
+                "cached true-grid perceptual features: "
+                f"{sum(v.nbytes for v in feats.values()) / 1e9:.2f} GB "
+                "HBM; true-side U-Net forward skipped every step"
+            )
         n_train = len(next(iter(t_host.values())))
         n_val = len(next(iter(v_host.values()))) if v_host else 0
         idx_sharding = batch_sharding(mesh)
@@ -436,8 +546,15 @@ def train_vae(
             improved = ckpt.save_epoch(
                 state, vm["loss"], epoch, latest_every=latest_every
             )
-            if improved and plot_dir and last_val_batch is not None:
+            # plot_min_interval thins the best-val plot refreshes: early
+            # training improves val nearly every epoch, and each refresh
+            # ships device arrays through the leaky remote plugin (HBM
+            # creep killed a 25-epoch 64^3 chunk at epoch 12) besides
+            # costing 6-35 s of fetch time
+            if (improved and plot_dir and last_val_batch is not None
+                    and epoch - _last_plot_epoch[0] >= plot_min_interval):
                 _save_best_plots(model, state, last_val_batch, plot_dir, epoch)
+                _last_plot_epoch[0] = epoch
             t_save = time.time() - t_save
             if t_save > 5:  # surface the remote-fetch/plot tax (it is
                 # outside the printed epoch time, so a silent sink)

@@ -286,6 +286,37 @@ class TestResidentVAE:
                 resident_data=(data, data),
             )
 
+    def test_cached_features_driver_matches_live(self, dataset, tmp_path):
+        """The resident DFC driver with cache_true_features must track the
+        live-feature run epoch for epoch (same seeds/init; the only
+        float-level difference is conv tiling at the precompute batch)."""
+        unet, ustate = create_unet_state(
+            UNET_CFG, TC, jax.random.key(1), grid_d=8
+        )
+        uvars = {"params": ustate.params, "batch_stats": ustate.batch_stats}
+        cond = self._cond(dataset)
+        data = self._host_split(dataset, cond)
+
+        def run(cache):
+            model, state = create_vae_state(VAE_CFG, TC, jax.random.key(0))
+            _, history = train_vae(
+                model, state, None, None, epochs=2,
+                unet=unet, unet_variables=uvars,
+                mesh=make_mesh(n_data=4), log_fn=lambda *_: None,
+                resident_data=(data, data), batch_size=4,
+                shuffle_seed=3, cache_true_features=cache,
+            )
+            return history
+
+        live = run(False)
+        cached = run(True)
+        for hl, hc in zip(live, cached):
+            for k in ("loss", "perceptual", "mse", "kld"):
+                assert float(hc["train"][k]) == pytest.approx(
+                    float(hl["train"][k]), rel=1e-4
+                ), k
+        assert cached[0]["train"]["perceptual"] > 0
+
 
 class TestResidentUNet:
     """HBM-resident path for the U-Net trainer (mirrors TestResidentVAE):
@@ -363,6 +394,91 @@ class TestResidentUNet:
                 mesh=make_mesh(n_data=4), log_fn=lambda *_: None,
                 resident_data=(data, data),
             )
+
+
+class TestCachedFeatures:
+    """cache_true_features: pre-gathered frozen-net taps must reproduce
+    the live DFC loss exactly, and the whole-split precompute must match
+    per-sample direct forwards (including the pad-to-batch tail)."""
+
+    def _setup(self, dataset):
+        model, state = create_vae_state(VAE_CFG, TC, jax.random.key(0))
+        unet, ustate = create_unet_state(
+            UNET_CFG, TC, jax.random.key(1), grid_d=8
+        )
+        uvars = {"params": ustate.params, "batch_stats": ustate.batch_stats}
+        _, cond, _ = bin_and_encode(
+            np.asarray(dataset.arrays["target"]), VAE_CFG.cond_bins
+        )
+        it = BatchIterator(
+            dataset, dataset.ids, 4, fields=("density", "coords"),
+            extra={"cond": cond},
+        )
+        batch = prepare_vae_batch(next(iter(it)), next(iter(it))["cond"])
+        return model, state, unet, uvars, batch
+
+    def test_cached_loss_matches_live(self, dataset):
+        from icsg3d_tpu.train.vae import (
+            _assemble_x, _perceptual_features, _vae_losses,
+        )
+
+        model, state, unet, uvars, batch = self._setup(dataset)
+        rng = jax.random.key(7)
+        live, (live_mets, _) = _vae_losses(
+            model, unet, uvars, state.params, state.batch_stats,
+            batch, rng, train=False,
+        )
+        x = _assemble_x(dict(batch), model.cfg.grid)
+        feats = _perceptual_features(
+            unet, uvars, x, model.cfg.perceptual_taps
+        )
+        cached_batch = dict(batch)
+        for tap, f in zip(model.cfg.perceptual_taps, feats):
+            cached_batch[f"pfeat_{tap}"] = f
+        cached, (cached_mets, _) = _vae_losses(
+            model, unet, uvars, state.params, state.batch_stats,
+            cached_batch, rng, train=False,
+        )
+        assert float(live) == float(cached)
+        assert float(live_mets["perceptual"]) == float(
+            cached_mets["perceptual"]
+        )
+        assert float(live_mets["perceptual"]) > 0
+
+    def test_precompute_matches_direct(self, dataset):
+        from icsg3d_tpu.train.vae import (
+            _assemble_x, _perceptual_features, precompute_true_features,
+            true_feature_cache_bytes,
+        )
+
+        model, state, unet, uvars, _ = self._setup(dataset)
+        rows = np.arange(len(dataset.ids))
+        data = {
+            "density": jnp.asarray(
+                np.asarray(dataset.arrays["density"][rows], np.float32)
+            ),
+            "abc": jnp.asarray(
+                np.asarray(dataset.arrays["lattice"][rows, :3], np.float32)
+            ),
+        }
+        n = len(rows)
+        cache = precompute_true_features(
+            model, unet, uvars, data, batch_size=3  # n=8 -> pad tail
+        )
+        x = _assemble_x(dict(data), model.cfg.grid)
+        direct = _perceptual_features(
+            unet, uvars, x, model.cfg.perceptual_taps
+        )
+        for tap, f in zip(model.cfg.perceptual_taps, direct):
+            got = cache[f"pfeat_{tap}"]
+            assert got.shape == f.shape
+            # batch-shape-dependent conv reduction order: the cache is
+            # computed at batch_size rows, the oracle at n rows
+            assert np.allclose(
+                np.asarray(got), np.asarray(f), atol=5e-6, rtol=2e-5
+            )
+        est = true_feature_cache_bytes(model, unet, uvars, n)
+        assert est == sum(int(v.nbytes) for v in cache.values())
 
 
 class TestCGCNNTraining:

@@ -38,9 +38,12 @@ while [ $done_epochs -lt $TOTAL ]; do
         --unet-ckpt "$UNET_CKPT"
         --epochs $n --batch-size 48 --lr 5e-4 --nrot 0
         --layout $LAYOUT --ship-dtype float16
-        --ckpt-every $n   # full-state latest once per chunk (the loop
-                          # tail always saves it after the final epoch);
-                          # per-improvement best saves are params-only
+        --ckpt-every "${CKPT_EVERY:-$n}"  # full-state latest cadence (the
+                          # loop tail always saves one after the final
+                          # epoch); < n gives mid-chunk crash-resume points
+        --plot-every "${PLOT_EVERY:-1}"   # thin best-val plot refreshes:
+                          # each ships arrays through the leaky remote
+                          # plugin (HBM creep killed a 25-epoch chunk)
         --resident)       # whole split HBM-resident: zero per-epoch
                           # host->device traffic (the 64^3 split is
                           # ~1 GB; epochs were measured transfer-bound)
