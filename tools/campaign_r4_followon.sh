@@ -69,12 +69,20 @@ for stage in ${*:-bench64 realcif unet vaefb evalfb genfb}; do
       ;;
     vaefb)
       done_e=0; first=1; fails=0; total=${VAEFB_EPOCHS:-250}
+      # frozen-net true-grid taps cached once per chunk (9.9 GB HBM at
+      # 32^3); dropped automatically after 2 consecutive chunk failures
+      # in case the cache + leak creep exhausts HBM (the 64^3 OOM lesson)
+      cache_args=(--cache-true-features)
       while [ $done_e -lt $total ]; do
-        n=50; rem=$((total - done_e)); [ $rem -lt $n ] && n=$rem
+        # 25-epoch chunks: the cache leaves ~3 GB HBM headroom and the
+        # remote plugin's per-array leak creeps into it over long chunks
+        n=25; rem=$((total - done_e)); [ $rem -lt $n ] && n=$rem
         vargs=(--data data/ns10k --ckpt checkpoints/ns10k/vae_fb
                --unet-ckpt checkpoints/ns10k/unet
                --kld-floor $KLD_FLOOR
                --batch-size 128 --lr 5e-4 --nrot 0 --epochs $n
+               ${cache_args[@]+"${cache_args[@]}"}
+               --plot-every 5
                --resident --ship-dtype float16 --ckpt-every $n)
         [ $first -eq 0 ] && vargs+=(--resume)
         echo "=== vaefb chunk start epochs_done=$done_e n=$n $(date)" \
@@ -85,6 +93,11 @@ for stage in ${*:-bench64 realcif unet vaefb evalfb genfb}; do
         echo "=== vaefb chunk rc=$rc $(date)" >> $LOGDIR/vaefb.log
         if [ $rc -ne 0 ]; then
           fails=$((fails + 1)); [ $fails -ge 5 ] && exit 1
+          if [ $fails -ge 2 ] && [ ${#cache_args[@]} -gt 0 ]; then
+            cache_args=()
+            echo "=== vaefb: dropping --cache-true-features after $fails failures" \
+              >> $LOGDIR/vaefb.log
+          fi
           sleep 120; continue
         fi
         fails=0; done_e=$((done_e + n)); first=0
