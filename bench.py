@@ -152,6 +152,56 @@ def main():
                   file=sys.stderr)
             cached_rate = None
 
+    # 64^3 DFC step (BASELINE config 5, the "scaled grids" config): VERDICT
+    # r3 pinned round-4 perf work to this geometry, so the driver-recorded
+    # bench carries it beside the 32^3 headline.  Same full-semantics step
+    # (two perceptual forwards), bs=48 — the measured ndhwc operating point
+    # (COVERAGE.md "64^3 measured ceiling").
+    rate64 = mfu64 = None
+    if os.environ.get("BENCH_SKIP_64") != "1":
+        try:
+            d64 = 64
+            bs64 = 48
+            vae64_cfg = VAEConfig(grid=GridSpec(d=d64))
+            tc64 = TrainConfig(batch_size=bs64, learning_rate=5e-4)
+            vae64, state64 = create_vae_state(vae64_cfg, tc64, jax.random.key(3))
+            unet64, ustate64 = create_unet_state(
+                unet_cfg, tc64, jax.random.key(4), grid_d=d64
+            )
+            step64, _ = make_vae_steps(
+                vae64, unet64,
+                {"params": ustate64.params, "batch_stats": ustate64.batch_stats},
+            )
+            b64 = shard_batch(
+                {
+                    "x": rng.random((bs64, d64, d64, d64, 4)).astype(np.float32),
+                    "cond": np.eye(10, dtype=np.float32)[
+                        rng.integers(0, 10, bs64)
+                    ],
+                },
+                mesh,
+            )
+            try:
+                c64 = step64.lower(state64, b64, key).compile().cost_analysis()
+                flops64 = float(c64.get("flops", 0.0)) if c64 else 0.0
+            except Exception:
+                flops64 = 0.0
+            for _ in range(3):
+                state64, m64 = step64(state64, b64, key)
+            jax.device_get(m64["loss"])
+            n64 = 10
+            t0 = time.perf_counter()
+            for _ in range(n64):
+                state64, m64 = step64(state64, b64, key)
+            jax.device_get(m64["loss"])
+            dt64 = time.perf_counter() - t0
+            rate64 = n64 * bs64 / dt64 / n_chips
+            mfu64 = flops64 * n64 / dt64 / peak if flops64 else None
+            del state64, ustate64, b64  # release the 64^3 HBM footprint
+        except Exception as e:
+            print(f"bench: 64^3 section failed: {e!r}", file=sys.stderr)
+            rate64 = mfu64 = None
+
     # Secondary headline metric: end-to-end generation throughput through
     # the fused decode -> segment -> extract -> coordinates program
     # (BASELINE: "end-to-end generated samples/sec").
@@ -291,6 +341,10 @@ def main():
                     "cached_feats_grids_per_sec_per_chip": (
                         round(cached_rate, 2) if cached_rate else None
                     ),
+                    "vae64_grids_per_sec_per_chip": (
+                        round(rate64, 2) if rate64 else None
+                    ),
+                    "vae64_mfu": round(mfu64, 4) if mfu64 else None,
                     "unet_train_grids_per_sec_per_chip": (
                         round(unet_rate, 2) if unet_rate else None
                     ),
