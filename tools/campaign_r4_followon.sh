@@ -52,7 +52,10 @@ run() {  # run <name> <timeout> <cmd...>
 
 wait_for_chip
 
-for stage in ${*:-bench64 realcif unet vaefb evalfb genfb}; do
+# genfb ahead of evalfb: the 1000-sample charge-balance count is item 5's
+# headline number, so if the round's wall-clock cuts the tail, the eval
+# pass is the piece sacrificed, not the generation count.
+for stage in ${*:-bench64 realcif unet vaefb genfb evalfb}; do
   case $stage in
     bench64)
       # smoke gate first: the layout/pool changes feed the Pallas path
