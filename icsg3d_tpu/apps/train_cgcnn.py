@@ -161,7 +161,16 @@ def main(argv=None):
     )
     import json as _json
 
-    with open(os.path.join(args.ckpt, "history.json"), "w") as f:
+    # --resume appends to the existing curve (chunked-campaign parity
+    # with apps/train_vae.py — see the note there)
+    hist_path = os.path.join(args.ckpt, "history.json")
+    if args.resume and os.path.exists(hist_path):
+        try:
+            with open(hist_path) as f:
+                history = _json.load(f) + history
+        except (ValueError, OSError):
+            pass
+    with open(hist_path, "w") as f:
         _json.dump(history, f, indent=1)
     if history:
         print(f"done; best val MAE "

@@ -210,14 +210,23 @@ def _finish(args, history):
     from icsg3d_tpu import viz
 
     os.makedirs(args.ckpt, exist_ok=True)
+    import json as _json
+
+    # --resume appends to the existing curve (chunked-campaign parity
+    # with apps/train_vae.py — see the note there)
+    hist_path = os.path.join(args.ckpt, "history.json")
+    if args.resume and os.path.exists(hist_path):
+        try:
+            with open(hist_path) as f:
+                history = _json.load(f) + history
+        except (ValueError, OSError):
+            pass
     viz.plot_losses(
         [h["train"]["loss"] for h in history],
         [h["val"]["loss"] for h in history],
         os.path.join(args.ckpt, "loss.png"),
     )
-    import json as _json
-
-    with open(os.path.join(args.ckpt, "history.json"), "w") as f:
+    with open(hist_path, "w") as f:
         _json.dump(history, f, indent=1)
     if history:
         print(f"done; best val loss "

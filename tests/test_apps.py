@@ -571,3 +571,55 @@ class TestQueryOffline:
         assert set(rows[0]) == {k for k in PROPERTIES if k != "cif"}
         assert rows[0]["elasticity.K_Voigt_Reuss_Hill"] == "150.0"
         assert rows[1]["diel.poly_electronic"] == ""  # missing sub-doc ok
+
+
+class TestHistoryAppend:
+    """Chunked --resume campaigns accumulate the full training curve:
+    each chunk's _finish appends its epochs to ckpt/history.json instead
+    of overwriting it with the last 10-25 epochs (tools/campaign_*.sh
+    run fresh processes per chunk — axon host-RAM leak)."""
+
+    @staticmethod
+    def _args(ckpt, resume):
+        import argparse
+
+        return argparse.Namespace(ckpt=str(ckpt), resume=resume)
+
+    @staticmethod
+    def _entry(loss):
+        return {"train": {"loss": loss}, "val": {"loss": loss},
+                "time": 1.0, "steps": 2}
+
+    @pytest.mark.parametrize("mod", ["train_vae", "train_unet"])
+    def test_resume_appends(self, tmp_path, mod):
+        import importlib
+        import json
+
+        _finish = importlib.import_module(f"icsg3d_tpu.apps.{mod}")._finish
+        _finish(self._args(tmp_path, False), [self._entry(2.0)])
+        _finish(self._args(tmp_path, True), [self._entry(1.0)])
+        with open(tmp_path / "history.json") as f:
+            hist = json.load(f)
+        assert [h["train"]["loss"] for h in hist] == [2.0, 1.0]
+
+    def test_fresh_run_overwrites(self, tmp_path):
+        import json
+
+        from icsg3d_tpu.apps.train_vae import _finish
+
+        _finish(self._args(tmp_path, False), [self._entry(2.0)])
+        _finish(self._args(tmp_path, False), [self._entry(1.0)])
+        with open(tmp_path / "history.json") as f:
+            hist = json.load(f)
+        assert [h["train"]["loss"] for h in hist] == [1.0]
+
+    def test_corrupt_prior_history_is_ignored(self, tmp_path):
+        import json
+
+        from icsg3d_tpu.apps.train_vae import _finish
+
+        (tmp_path / "history.json").write_text("{not json")
+        _finish(self._args(tmp_path, True), [self._entry(3.0)])
+        with open(tmp_path / "history.json") as f:
+            hist = json.load(f)
+        assert [h["train"]["loss"] for h in hist] == [3.0]
