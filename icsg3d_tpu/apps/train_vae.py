@@ -75,6 +75,13 @@ def main(argv=None):
                         "forwards every step with bitwise-identical loss. "
                         "Requires --resident and --unet-ckpt; needs "
                         "~1.2 MB/sample HBM at 32^3 (gated at 12 GB)")
+    p.add_argument("--epoch-scan", action="store_true",
+                   help="run each epoch as ONE jitted lax.scan program "
+                        "over the resident split: one permutation upload "
+                        "+ one metrics fetch per epoch instead of ~2x "
+                        "steps host round trips — makes single-process "
+                        "full-schedule runs viable over the remote "
+                        "plugin (requires --resident)")
     p.add_argument("--resident", action="store_true",
                    help="upload the whole train/val split to device HBM "
                         "once and gather batches on device (zero per-epoch "
@@ -165,6 +172,8 @@ def main(argv=None):
 
     if args.cache_true_features and not (args.resident and unet):
         p.error("--cache-true-features requires --resident and --unet-ckpt")
+    if args.epoch_scan and not args.resident:
+        p.error("--epoch-scan requires --resident")
 
     if args.resident:
         if not device_coords:
@@ -210,6 +219,7 @@ def main(argv=None):
             plot_min_interval=args.plot_every,
             remat_perceptual=args.remat_perceptual,
             resident_data=(t_host, v_host),
+            epoch_scan=args.epoch_scan,
             batch_size=args.batch_size,
             shuffle_seed=args.seed + int(state.step),
             cache_true_features=args.cache_true_features,

@@ -225,6 +225,95 @@ def make_vae_steps(
     )
 
 
+def make_vae_epoch_fns(
+    model: ConditionalDFCVAE,
+    unet: Optional[UNet3D] = None,
+    unet_variables=None,
+    remat_perceptual: bool = False,
+):
+    """Whole-epoch jitted programs for an HBM-RESIDENT split.
+
+    The per-step resident path (make_vae_steps(resident=True)) still
+    round-trips the host every step: one device_put for the batch's
+    index vector, one dispatch, and a deferred per-step metrics fetch —
+    ~2x steps host interactions per epoch.  Over a remote/tunneled
+    device plugin each of those costs an RTT, and every array created
+    feeds the plugin's per-array leak (the 64^3 HBM-creep that forces
+    chunked multi-process campaigns, COVERAGE.md round-4).
+
+    These build the TPU-native alternative: the WHOLE epoch is one XLA
+    program — ``lax.scan`` over the step function, gathering each batch
+    from the resident split inside the loop.  Per epoch the host ships
+    ONE (n_steps, batch_size) permutation array and fetches ONE dict of
+    scalar metric means.  Control flow is compiler-visible (static trip
+    count), the carried state is donated, and nothing else crosses the
+    host boundary, so a full 250-epoch schedule can run in a single
+    process.
+
+    train_epoch(state, data, key, perm) -> (state, key', mean_metrics)
+        perm: (n_steps, batch_size) int32 row indices.  Computed on the
+        HOST exactly like the per-step path's shuffle
+        (np.random.default_rng((shuffle_seed, epoch)).permutation) so
+        the two paths see identical batch order — equivalence is
+        testable and --resume runs can switch paths mid-training.
+    val_epoch(state, data, key, idx) -> (key', mean_metrics)
+        idx: (n_batches, batch_size) fixed evaluation rows.
+
+    Both return the ADVANCED rng key: it is carried through the scan
+    with the same ``key, sub = split(key)`` structure per step as the
+    host loop, so from an identical starting key the two paths draw
+    bitwise-identical reparameterization noise across the whole run
+    (tests/test_train.py::TestEpochScan).
+    """
+
+    def _gather(data, idx):
+        return {k: v[idx] for k, v in data.items()}
+
+    def _losses(params, batch_stats, batch, rng, train):
+        return _vae_losses(
+            model, unet, unet_variables, params, batch_stats, batch, rng,
+            train=train, remat_perceptual=remat_perceptual,
+        )
+
+    def train_epoch(state: ModelState, data, key, perm):
+        def body(carry, idx):
+            state, key = carry
+            key, sub = jax.random.split(key)
+
+            def loss_fn(params):
+                return _losses(
+                    params, state.batch_stats, _gather(data, idx), sub, True
+                )
+
+            grads, (mets, new_bs) = jax.grad(
+                loss_fn, has_aux=True
+            )(state.params)
+            return (
+                state.apply_gradients(grads, new_batch_stats=new_bs),
+                key,
+            ), mets
+
+        (state, key), mets = jax.lax.scan(body, (state, key), perm)
+        return state, key, jax.tree_util.tree_map(jnp.mean, mets)
+
+    def val_epoch(state: ModelState, data, key, idx):
+        def body(key, rows):
+            key, sub = jax.random.split(key)
+            _, (mets, _) = _losses(
+                state.params, state.batch_stats, _gather(data, rows), sub,
+                False,
+            )
+            return key, mets
+
+        key, mets = jax.lax.scan(body, key, idx)
+        return key, jax.tree_util.tree_map(jnp.mean, mets)
+
+    return (
+        jax.jit(train_epoch, donate_argnums=(0,)),
+        jax.jit(val_epoch),
+    )
+
+
 def precompute_true_features(
     model: ConditionalDFCVAE, unet: UNet3D, unet_variables,
     data_dev, batch_size: int,
@@ -420,6 +509,7 @@ def train_vae(
     shuffle_seed: int = 0,
     cache_true_features: bool = False,
     plot_min_interval: int = 1,
+    epoch_scan: bool = False,
 ):
     """Epoch loop mirroring LatticeDFCVAE.train (vae/lattice_vae.py:288-342):
     per-epoch train/val metric means, wall-clock print, best-val save (and
@@ -441,13 +531,28 @@ def train_vae(
     keys the per-epoch permutations (fold resume progress in, exactly
     like the streaming path's iterator seed).  train_batches/val_batches
     are ignored and may be None.
+
+    epoch_scan=True (resident only) runs each epoch as ONE jitted
+    lax.scan program (make_vae_epoch_fns): one permutation upload and
+    one metrics fetch per epoch instead of ~2x steps host round trips.
+    Batch order and rng-draw structure match the per-step resident path
+    exactly, so --resume can switch between them freely.
     """
     mesh = mesh or make_mesh()
     resident = resident_data is not None
-    train_step, eval_step = make_vae_steps(
-        model, unet, unet_variables, remat_perceptual=remat_perceptual,
-        resident=resident,
-    )
+    if epoch_scan and not resident:
+        raise ValueError("epoch_scan requires resident_data")
+    if epoch_scan:
+        train_epoch_fn, val_epoch_fn = make_vae_epoch_fns(
+            model, unet, unet_variables,
+            remat_perceptual=remat_perceptual,
+        )
+        train_step = eval_step = None
+    else:
+        train_step, eval_step = make_vae_steps(
+            model, unet, unet_variables, remat_perceptual=remat_perceptual,
+            resident=resident,
+        )
     ckpt = CheckpointManager(checkpoint_dir) if checkpoint_dir else None
     key = jax.random.key(seed)
     history = []
@@ -479,15 +584,51 @@ def train_vae(
         n_val = len(next(iter(v_host.values()))) if v_host else 0
         idx_sharding = batch_sharding(mesh)
         nb_val = n_val // batch_size
+        nb_train = n_train // batch_size
         if nb_val:  # the plotted batch: the last full val batch, host-side
             rows = np.arange((nb_val - 1) * batch_size, nb_val * batch_size)
             last_val_batch = {k: np.asarray(v[rows]) for k, v in v_host.items()}
+        if epoch_scan:
+            if nb_train == 0:
+                raise ValueError(
+                    "no train batches: the train split is smaller than the "
+                    "batch size (remainders are dropped, vae/data.py:45 "
+                    "parity)"
+                )
+            # (n_steps, batch) index blocks: replicated over steps, each
+            # step's row split over the data axis like the per-step path
+            perm_sharding = NamedSharding(mesh, PartitionSpec(None, "data"))
+            val_idx = (
+                jax.device_put(
+                    np.arange(nb_val * batch_size, dtype=np.int32).reshape(
+                        nb_val, batch_size
+                    ),
+                    perm_sharding,
+                )
+                if nb_val
+                else None
+            )
     for epoch in range(epochs):
         t0 = time.time()
         sharding = batch_sharding(mesh)
         train_mets = []
         val_mets = []
-        if resident:
+        if resident and epoch_scan:
+            perm = np.random.default_rng(
+                (shuffle_seed, epoch)
+            ).permutation(n_train).astype(np.int32)
+            perm2d = jax.device_put(
+                perm[: nb_train * batch_size].reshape(
+                    nb_train, batch_size
+                ),
+                perm_sharding,
+            )
+            state, key, m = train_epoch_fn(state, t_dev, key, perm2d)
+            train_mets.append(m)
+            if nb_val:
+                key, vm_scan = val_epoch_fn(state, v_dev, key, val_idx)
+                val_mets.append(vm_scan)
+        elif resident:
             perm = np.random.default_rng(
                 (shuffle_seed, epoch)
             ).permutation(n_train).astype(np.int32)
@@ -531,7 +672,9 @@ def train_vae(
                 )
             vm = tm
         epoch_time = time.time() - t0
-        n_steps = len(train_mets)
+        # epoch_scan folds the whole epoch into one program whose
+        # metrics are already step means — count the real steps
+        n_steps = nb_train if (resident and epoch_scan) else len(train_mets)
         history.append({"train": tm, "val": vm, "time": epoch_time,
                         "steps": n_steps})
         log_fn(

@@ -831,3 +831,92 @@ class TestAbstractState:
             jax.tree_util.tree_leaves(restored.params),
         ):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+class TestEpochScan:
+    """--epoch-scan: the whole-epoch lax.scan resident program
+    (train/vae.py make_vae_epoch_fns) must reproduce the per-step
+    resident path — identical batch order (host permutation contract)
+    and identical rng-draw structure (carried key, one split per
+    step/val batch) — so the two paths give the same optimizer
+    trajectory and can be swapped across --resume chunks."""
+
+    def _split(self, dataset):
+        _, cond, _ = bin_and_encode(
+            np.asarray(dataset.arrays["target"]), VAE_CFG.cond_bins
+        )
+        rows = np.arange(len(dataset.ids))
+        return {
+            "density": np.asarray(
+                dataset.arrays["density"][rows], dtype=np.float32
+            ),
+            "abc": np.asarray(
+                dataset.arrays["lattice"][rows, :3], dtype=np.float32
+            ),
+            "cond": cond[rows].astype(np.float32),
+        }
+
+    def test_matches_per_step_path(self, dataset):
+        data = self._split(dataset)
+        kw = dict(
+            epochs=2, mesh=make_mesh(n_data=4), log_fn=lambda *_: None,
+            resident_data=(data, data), batch_size=4, shuffle_seed=3,
+            seed=5,
+        )
+        model, s1 = create_vae_state(VAE_CFG, TC, jax.random.key(0))
+        _, s2 = create_vae_state(VAE_CFG, TC, jax.random.key(0))
+        s1, h1 = train_vae(model, s1, None, None, **kw)
+        s2, h2 = train_vae(model, s2, None, None, epoch_scan=True, **kw)
+        for a, b in zip(h1, h2):
+            assert a["steps"] == b["steps"] == 2  # 8 samples / bs 4
+            for k in ("loss", "mse", "kld"):
+                assert a["train"][k] == pytest.approx(
+                    b["train"][k], rel=2e-5
+                ), k
+            # val runs BN in inference mode (running stats), where the
+            # noise-walked conv biases below cancel only approximately —
+            # train mode subtracts the batch mean exactly, hence the
+            # looser val bar
+            assert a["val"]["loss"] == pytest.approx(
+                b["val"]["loss"], rel=5e-4
+            )
+        # atol: conv biases immediately followed by BatchNorm have a
+        # mathematically-zero gradient (BN subtracts the mean), so their
+        # Adam updates are sign-of-float-noise random walks of ~lr per
+        # step and legitimately differ between the two compiled
+        # programs; every informative leaf agrees far tighter (the loss
+        # trajectory above matches to ~1e-7 relative)
+        jax.tree_util.tree_map(
+            lambda x, y: np.testing.assert_allclose(
+                np.asarray(x), np.asarray(y), rtol=1e-3, atol=5e-3
+            ),
+            s1.params, s2.params,
+        )
+
+    def test_composes_with_dfc_and_feature_cache(self, dataset):
+        data = self._split(dataset)
+        model, state = create_vae_state(VAE_CFG, TC, jax.random.key(0))
+        unet, ustate = create_unet_state(
+            UNET_CFG, TC, jax.random.key(1), grid_d=8
+        )
+        uvars = {
+            "params": ustate.params, "batch_stats": ustate.batch_stats
+        }
+        state, hist = train_vae(
+            model, state, None, None, epochs=1,
+            unet=unet, unet_variables=uvars,
+            mesh=make_mesh(n_data=4), log_fn=lambda *_: None,
+            resident_data=(data, data), batch_size=4,
+            cache_true_features=True, epoch_scan=True,
+        )
+        assert np.isfinite(hist[-1]["val"]["loss"])
+        assert hist[-1]["train"]["perceptual"] > 0
+
+    def test_requires_resident(self, dataset):
+        model, state = create_vae_state(VAE_CFG, TC, jax.random.key(0))
+        with pytest.raises(ValueError, match="resident"):
+            train_vae(
+                model, state, None, None, epochs=1,
+                mesh=make_mesh(n_data=4), log_fn=lambda *_: None,
+                epoch_scan=True,
+            )
