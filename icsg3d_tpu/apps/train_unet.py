@@ -46,6 +46,10 @@ def main(argv=None):
                    choices=("float32", "float16"),
                    help="wire dtype for density grids (cast to float32 on "
                         "device; float16 halves host->device bytes)")
+    p.add_argument("--epoch-scan", action="store_true",
+                   help="run each epoch as ONE jitted lax.scan program "
+                        "over the resident split (requires --resident; "
+                        "see apps/train_vae.py)")
     p.add_argument("--resident", action="store_true",
                    help="upload the whole train/val split to device HBM "
                         "once and gather batches on device (zero per-epoch "
@@ -142,6 +146,8 @@ def main(argv=None):
         else ("density", "coords", "species")
     )
 
+    if args.epoch_scan and not args.resident:
+        p.error("--epoch-scan requires --resident")
     if args.resident:
         if not device_coords:
             p.error("--resident requires --nrot 0: rotated samples carry "
@@ -165,6 +171,7 @@ def main(argv=None):
             plot_dir=os.path.join(args.ckpt, "plots"),
             latest_every=args.ckpt_every,
             resident_data=(split_host(train_ids), split_host(val_ids)),
+            epoch_scan=args.epoch_scan,
             batch_size=args.batch_size,
             shuffle_seed=args.seed + int(state.step),
         )

@@ -162,6 +162,62 @@ def make_unet_steps(model: UNet3D, class_weights=None, resident: bool = False):
     )
 
 
+def make_unet_epoch_fns(model: UNet3D, class_weights=None):
+    """Whole-epoch jitted programs for an HBM-resident split — the U-Net
+    mirror of train/vae.py make_vae_epoch_fns (see there for the full
+    rationale: one permutation upload + one metrics fetch per epoch,
+    compiler-visible lax.scan control flow, single-process full-schedule
+    runs over the leaky remote plugin).
+
+    train_epoch(state, data, perm) -> (state, mean_metrics)
+    val_epoch(state, data, idx) -> mean_metrics
+
+    Metric means reduce over the STEP axis only, so the per-class
+    (ce_class_sum, class_count) accumulator vectors keep their shape and
+    _fold_per_class_ce works unchanged on the result.
+    """
+    nc = model.cfg.num_classes
+    cw = jnp.ones(nc) if class_weights is None else jnp.asarray(class_weights)
+
+    def _gather(data, idx):
+        return {k: v[idx] for k, v in data.items()}
+
+    def _mean0(mets):
+        return jax.tree_util.tree_map(lambda a: jnp.mean(a, axis=0), mets)
+
+    def train_epoch(state: ModelState, data, perm):
+        def body(state, idx):
+            def loss_fn(params):
+                return _unet_losses(
+                    model, params, state.batch_stats, _gather(data, idx),
+                    cw, train=True,
+                )
+
+            grads, (mets, new_bs) = jax.grad(
+                loss_fn, has_aux=True
+            )(state.params)
+            return state.apply_gradients(grads, new_batch_stats=new_bs), mets
+
+        state, mets = jax.lax.scan(body, state, perm)
+        return state, _mean0(mets)
+
+    def val_epoch(state: ModelState, data, idx):
+        def body(carry, rows):
+            _, (mets, _) = _unet_losses(
+                model, state.params, state.batch_stats,
+                _gather(data, rows), cw, train=False,
+            )
+            return carry, mets
+
+        _, mets = jax.lax.scan(body, 0, idx)
+        return _mean0(mets)
+
+    return (
+        jax.jit(train_epoch, donate_argnums=(0,)),
+        jax.jit(val_epoch),
+    )
+
+
 def prepare_unet_batch(
     batch: Dict[str, np.ndarray], num_classes: int,
     device_coords: bool = False,
@@ -264,6 +320,7 @@ def train_unet(
     resident_data=None,
     batch_size: Optional[int] = None,
     shuffle_seed: int = 0,
+    epoch_scan: bool = False,
 ):
     """Epoch loop with best-val checkpointing (and best-val segmentation
     plots when plot_dir is given).
@@ -280,12 +337,25 @@ def train_unet(
     host permutation — the only per-step host->device traffic is the
     index vector (see train/vae.py train_vae for the measured rationale).
     Requires `batch_size`; train_batches/val_batches are ignored.
+
+    epoch_scan=True (resident only) runs each epoch as ONE jitted
+    lax.scan program (make_unet_epoch_fns) — one permutation upload and
+    one metrics fetch per epoch; batch order matches the per-step
+    resident path exactly.
     """
     mesh = mesh or make_mesh()
     resident = resident_data is not None
-    train_step, eval_step = make_unet_steps(
-        model, class_weights, resident=resident
-    )
+    if epoch_scan and not resident:
+        raise ValueError("epoch_scan requires resident_data")
+    if epoch_scan:
+        train_epoch_fn, val_epoch_fn = make_unet_epoch_fns(
+            model, class_weights
+        )
+        train_step = eval_step = None
+    else:
+        train_step, eval_step = make_unet_steps(
+            model, class_weights, resident=resident
+        )
     ckpt = CheckpointManager(checkpoint_dir) if checkpoint_dir else None
     history = []
     last_val_batch = None
@@ -302,15 +372,47 @@ def train_unet(
         n_val = len(next(iter(v_host.values()))) if v_host else 0
         idx_sharding = batch_sharding(mesh)
         nb_val = n_val // batch_size
+        nb_train = n_train // batch_size
         if nb_val:  # the plotted batch: the last full val batch, host-side
             rows = np.arange((nb_val - 1) * batch_size, nb_val * batch_size)
             last_val_batch = {k: np.asarray(v[rows]) for k, v in v_host.items()}
+        if epoch_scan:
+            if nb_train == 0:
+                raise ValueError(
+                    "no train batches: the train split is smaller than the "
+                    "batch size (remainders are dropped)"
+                )
+            perm_sharding = NamedSharding(mesh, PartitionSpec(None, "data"))
+            val_idx = (
+                jax.device_put(
+                    np.arange(nb_val * batch_size, dtype=np.int32).reshape(
+                        nb_val, batch_size
+                    ),
+                    perm_sharding,
+                )
+                if nb_val
+                else None
+            )
     for epoch in range(epochs):
         t0 = time.time()
         sharding = batch_sharding(mesh)
         train_mets = []
         val_mets = []
-        if resident:
+        if resident and epoch_scan:
+            perm = np.random.default_rng(
+                (shuffle_seed, epoch)
+            ).permutation(n_train).astype(np.int32)
+            perm2d = jax.device_put(
+                perm[: nb_train * batch_size].reshape(
+                    nb_train, batch_size
+                ),
+                perm_sharding,
+            )
+            state, m = train_epoch_fn(state, t_dev, perm2d)
+            train_mets.append(m)
+            if nb_val:
+                val_mets.append(val_epoch_fn(state, v_dev, val_idx))
+        elif resident:
             perm = np.random.default_rng(
                 (shuffle_seed, epoch)
             ).permutation(n_train).astype(np.int32)

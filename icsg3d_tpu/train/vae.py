@@ -294,7 +294,10 @@ def make_vae_epoch_fns(
             ), mets
 
         (state, key), mets = jax.lax.scan(body, (state, key), perm)
-        return state, key, jax.tree_util.tree_map(jnp.mean, mets)
+        means = jax.tree_util.tree_map(
+            lambda a: jnp.mean(a, axis=0), mets
+        )
+        return state, key, means
 
     def val_epoch(state: ModelState, data, key, idx):
         def body(key, rows):
@@ -306,7 +309,9 @@ def make_vae_epoch_fns(
             return key, mets
 
         key, mets = jax.lax.scan(body, key, idx)
-        return key, jax.tree_util.tree_map(jnp.mean, mets)
+        return key, jax.tree_util.tree_map(
+            lambda a: jnp.mean(a, axis=0), mets
+        )
 
     return (
         jax.jit(train_epoch, donate_argnums=(0,)),

@@ -920,3 +920,76 @@ class TestEpochScan:
                 mesh=make_mesh(n_data=4), log_fn=lambda *_: None,
                 epoch_scan=True,
             )
+
+
+class TestUNetEpochScan:
+    """U-Net mirror of TestEpochScan: the whole-epoch lax.scan resident
+    program must match the per-step resident path (same batch order; no
+    rng in the U-Net step), with per-class CE vectors surviving the
+    step-axis-only metric reduction."""
+
+    def _split(self, dataset):
+        rows = np.arange(len(dataset.ids))
+        raw = {
+            "density": np.asarray(dataset.arrays["density"][rows]),
+            "lattice": np.asarray(dataset.arrays["lattice"][rows]),
+            "species": np.minimum(
+                np.asarray(dataset.arrays["species"][rows]),
+                UNET_CFG.num_classes - 1,
+            ),
+        }
+        return prepare_unet_batch(
+            raw, UNET_CFG.num_classes, device_coords=True,
+            ship_dtype="float32",
+        )
+
+    def test_matches_per_step_path(self, dataset):
+        data = self._split(dataset)
+        # the PRODUCTION U-Net lr (train_unet.py:53-61): at the test
+        # class's aggressive 1e-3, Adam amplifies compile-order float
+        # noise into sign-flipped ~lr update walks within two steps
+        # (measured: epoch-0 mean loss matches to 2e-6 rel, epoch 1
+        # drifts 1e-3); at 3e-6 the trajectories stay tight and the
+        # equivalence contract is meaningful
+        tc = TrainConfig(batch_size=4, learning_rate=3e-6)
+        kw = dict(
+            epochs=2, mesh=make_mesh(n_data=4), log_fn=lambda *_: None,
+            resident_data=(data, data), batch_size=4, shuffle_seed=5,
+        )
+        model, s1 = create_unet_state(
+            UNET_CFG, tc, jax.random.key(0), grid_d=8
+        )
+        _, s2 = create_unet_state(
+            UNET_CFG, tc, jax.random.key(0), grid_d=8
+        )
+        s1, h1 = train_unet(model, s1, None, None, **kw)
+        s2, h2 = train_unet(model, s2, None, None, epoch_scan=True, **kw)
+        for a, b in zip(h1, h2):
+            for k in ("loss", "ce", "f1"):
+                assert a["train"][k] == pytest.approx(
+                    b["train"][k], rel=1e-4
+                ), k
+            assert a["val"]["loss"] == pytest.approx(
+                b["val"]["loss"], rel=1e-4
+            )
+            np.testing.assert_allclose(
+                a["val"]["ce_per_class"], b["val"]["ce_per_class"],
+                rtol=1e-3, atol=1e-5,
+            )
+        jax.tree_util.tree_map(
+            lambda x, y: np.testing.assert_allclose(
+                np.asarray(x), np.asarray(y), rtol=1e-3, atol=1e-4
+            ),
+            s1.params, s2.params,
+        )
+
+    def test_requires_resident(self, dataset):
+        model, state = create_unet_state(
+            UNET_CFG, TC, jax.random.key(0), grid_d=8
+        )
+        with pytest.raises(ValueError, match="resident"):
+            train_unet(
+                model, state, None, None, epochs=1,
+                mesh=make_mesh(n_data=4), log_fn=lambda *_: None,
+                epoch_scan=True,
+            )
