@@ -68,10 +68,34 @@ for stage in ${*:-bench64 realcif unet vaefb genfb evalfb}; do
       bash tools/campaign_realcif.sh || stamp "realcif FAILED (continuing)"
       ;;
     unet)
-      bash tools/campaign_ns10k.sh unet || exit 1
+      # single-process 50-epoch run via the whole-epoch lax.scan path:
+      # one program per epoch means ~3 host arrays/epoch instead of
+      # ~250, so the plugin's per-array creep never builds up and no
+      # chunking (hence no per-chunk teardown claim tax) is needed.
+      # Falls back to the proven chunked campaign on any failure.
+      run unet 7200 python -m icsg3d_tpu.apps.train_unet \
+        --data data/ns10k --ckpt checkpoints/ns10k/unet \
+        --batch-size 64 --lr 3e-6 --nrot 0 --epochs 50 \
+        --resident --ship-dtype float16 --epoch-scan --ckpt-every 10 \
+        || { stamp "unet epoch-scan FAILED; falling back to chunked"; \
+             bash tools/campaign_ns10k.sh unet || exit 1; }
       ;;
     vaefb)
-      done_e=0; first=1; fails=0; total=${VAEFB_EPOCHS:-250}
+      # First attempt: the whole 250-epoch schedule in ONE process via
+      # --epoch-scan (see the unet stage note).  The chunked loop below
+      # remains the fallback and resumes from wherever a failed scan run
+      # checkpointed (mid-run latest saves every 25 epochs).
+      total=${VAEFB_EPOCHS:-250}
+      run vaefb_scan 10800 python -m icsg3d_tpu.apps.train_vae \
+        --data data/ns10k --ckpt checkpoints/ns10k/vae_fb \
+        --unet-ckpt checkpoints/ns10k/unet --kld-floor $KLD_FLOOR \
+        --batch-size 128 --lr 5e-4 --nrot 0 --epochs $total \
+        --cache-true-features --plot-every 5 \
+        --resident --ship-dtype float16 --epoch-scan --ckpt-every 25 \
+        && { stamp "vaefb complete (epoch-scan)"; continue; }
+      stamp "vaefb epoch-scan FAILED; falling back to chunked resume"
+      done_e=0; first=0; fails=0
+      [ -d checkpoints/ns10k/vae_fb/latest ] || first=1
       # frozen-net true-grid taps cached once per chunk (9.9 GB HBM at
       # 32^3); dropped automatically after 2 consecutive chunk failures
       # in case the cache + leak creep exhausts HBM (the 64^3 OOM lesson)
