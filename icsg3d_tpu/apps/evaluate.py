@@ -233,6 +233,12 @@ def main(argv=None):
     p.add_argument("--plots", default=None,
                    help="directory for error histograms and parity plots "
                         "(eval.py:230-322)")
+    p.add_argument("--eval-split", default="val", choices=("val", "train"),
+                   help="which split to reconstruct+evaluate.  'train' is "
+                        "a DIAGNOSTIC (never a headline number): comparing "
+                        "train-split EMD against val-split EMD separates a "
+                        "generalization gap (train much better) from "
+                        "model/post-processing saturation (both equal)")
     args = p.parse_args(argv)
 
     ds = GridDataset(args.data)
@@ -241,9 +247,11 @@ def main(argv=None):
     pipe = PipelineConfig(grid=grid, cond_bins=args.cond_bins)
     _, conds, _ = bin_and_encode(np.asarray(ds.arrays["target"]), args.cond_bins)
     # validation split without rotations (eval.py:130-142)
-    _, val_ids = data_split(
+    train_ids, val_ids = data_split(
         ds.ids, n=args.samples, frac=args.split_frac, n_rot=0
     )
+    if args.eval_split == "train":
+        val_ids = train_ids
     conds_val = conds[[ds.index[sid] for sid in val_ids]]
 
     vae_model, vae_vars = common.load_vae(
