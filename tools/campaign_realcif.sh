@@ -38,22 +38,33 @@ fi
 # so the optimizer sees a few thousand steps (the reference's 50-epoch
 # U-Net schedule on 1000 samples is ~4000 steps; 176 train grids need
 # more epochs for the same step count).
+[ -d checkpoints/realcif/unet/best ] || \
 run unet 3600 python -m icsg3d_tpu.apps.train_unet \
   --data data/realcif --ckpt checkpoints/realcif/unet \
   --batch-size 16 --lr 3e-6 --nrot 10 --epochs 150 --ckpt-every 50 || exit 1
 
+[ -d checkpoints/realcif/vae/best ] || \
 run vae 3600 python -m icsg3d_tpu.apps.train_vae \
   --data data/realcif --ckpt checkpoints/realcif/vae \
   --unet-ckpt checkpoints/realcif/unet \
   --batch-size 20 --lr 5e-4 --nrot 10 --epochs 250 --ckpt-every 50 || exit 1
 
+# CGCNN featurizes graphs straight from the CIF corpus (the packed grid
+# store is a voxel artifact; graphs come from sites+lattice): batch 8 so
+# the 16-parent train split yields full batches.
+[ -d checkpoints/realcif/cgcnn/best ] || \
 run cgcnn 3600 python -m icsg3d_tpu.apps.train_cgcnn \
-  --data data/realcif --ckpt checkpoints/realcif/cgcnn \
-  --batch-size 32 --epochs 60 || exit 1
+  --cifs tests/fixtures/real_cifs \
+  --targets-csv tests/fixtures/real_cifs/targets.csv \
+  --target formation_energy_per_atom \
+  --ckpt checkpoints/realcif/cgcnn \
+  --batch-size 8 --epochs 60 || exit 1
 
+# evaluate's split is always the non-rotated val parents (same parent
+# partition as training's --nrot 10 split; evaluate.py data_split n_rot=0)
 run eval 3600 python -m icsg3d_tpu.apps.evaluate \
   --data data/realcif --vae-ckpt checkpoints/realcif/vae \
-  --unet-ckpt checkpoints/realcif/unet --batch-size 20 --nrot 10 \
+  --unet-ckpt checkpoints/realcif/unet --batch-size 4 \
   --output $LOGDIR/eval.json --plots $LOGDIR/eval_plots
 
 run generate 3600 python -m icsg3d_tpu.apps.generate \
