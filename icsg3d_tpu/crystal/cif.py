@@ -39,7 +39,12 @@ def _parse_number(token: str, default: Optional[float] = None) -> float:
     m = _NUM_RE.match(tok)
     if not m:
         raise ValueError(f"not a number: {token!r}")
-    return float(m.group(0))
+    val = float(m.group(0))
+    # overflowed literals like 1e999 become inf and would flow NaN into
+    # downstream math (inf % 1.0) — a silent-corruption path, not an error
+    if not np.isfinite(val):
+        raise ValueError(f"non-finite number: {token!r}")
+    return val
 
 
 def _tokenize_line(line: str) -> List[str]:
@@ -99,13 +104,18 @@ def _parse_affine(p: str) -> Tuple[np.ndarray, float]:
             if sum(body.count(v) for v in "xyz") != 1:
                 raise ValueError(f"non-affine symop component: {p!r}")
             body = body.replace("*", "").replace(var, "")
-        if body == "":
-            val = 1.0
-        elif "/" in body:
-            num, den = body.split("/", 1)
-            val = (float(num) if num else 1.0) / float(den)
-        else:
-            val = float(body)
+        try:
+            if body == "":
+                val = 1.0
+            elif "/" in body:
+                num, den = body.split("/", 1)
+                val = (float(num) if num else 1.0) / float(den)
+            else:
+                val = float(body)
+        except ZeroDivisionError:
+            raise ValueError(f"zero denominator in symop component: {p!r}")
+        if not np.isfinite(val):
+            raise ValueError(f"non-finite symop component: {p!r}")
         if var is not None:
             coeffs["xyz".index(var)] += sign * val
         else:
@@ -140,13 +150,25 @@ def _collect_loops(lines: List[str]):
         if line.lower() == "loop_":
             i += 1
             headers = []
-            while i < n and lines[i].strip().startswith("_"):
-                headers.append(lines[i].strip().split()[0].lower())
+            # comments are insignificant anywhere in CIF, including
+            # between a loop_ keyword, its headers, and its rows
+            # (found by the mutation fuzzer; pymatgen-parity behavior)
+            while i < n and (lines[i].strip().startswith("_")
+                             or lines[i].strip().startswith("#")):
+                if not lines[i].strip().startswith("#"):
+                    headers.append(lines[i].strip().split()[0].lower())
                 i += 1
+            if not headers:
+                # a bare loop_ with no tag lines (malformed); skip it
+                # rather than divide by a zero column count below
+                continue
             rows = []
             while i < n:
                 row_line = lines[i].strip()
-                if (not row_line or row_line.startswith("#")
+                if row_line.startswith("#"):
+                    i += 1
+                    continue
+                if (not row_line
                         or row_line.startswith("_")
                         or row_line.lower().startswith(("loop_", "data_"))):
                     break
@@ -216,13 +238,24 @@ def parse_cif(text: str, site_tol: float = 1e-3) -> Structure:
     scalars, loops = _collect_loops(lines)
 
     def cell(tag: str) -> float:
-        return _parse_number(scalars[f"_cell_length_{tag}" if tag in "abc"
-                                     else f"_cell_angle_{tag}"])
+        key = f"_cell_length_{tag}" if tag in "abc" else f"_cell_angle_{tag}"
+        if key not in scalars:
+            raise ValueError(f"CIF missing required cell tag {key}")
+        return _parse_number(scalars[key])
 
-    lattice = Lattice.from_parameters(
-        cell("a"), cell("b"), cell("c"),
-        cell("alpha"), cell("beta"), cell("gamma"),
-    )
+    abc = [cell(t) for t in "abc"]
+    angles = [cell(t) for t in ("alpha", "beta", "gamma")]
+    if any(v <= 0 for v in abc):
+        raise ValueError(f"non-positive cell length: {abc}")
+    if any(not 0.0 < v < 180.0 for v in angles):
+        raise ValueError(f"cell angle outside (0, 180): {angles}")
+    lattice = Lattice.from_parameters(*abc, *angles)
+    if not np.isfinite(lattice.matrix).all():
+        # degenerate angle combinations (e.g. alpha+beta+gamma ~ 360)
+        # produce sqrt of a negative in the triclinic construction
+        raise ValueError(
+            f"degenerate cell parameters: abc={abc} angles={angles}"
+        )
 
     symops: List[Tuple[np.ndarray, np.ndarray]] = []
     site_loop = None
