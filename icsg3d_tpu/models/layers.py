@@ -149,17 +149,24 @@ class SpatialMajorConv(nn.Module):
                 )
         use = self.use_pallas
         if use is None:
-            # auto: TPU + supported plane + fits VMEM.  Big-channel convs
-            # (U-Net bottleneck/decoder) fail the fit check — their
+            # auto: TPU + supported plane, with the implementation chosen
+            # PER PASS (fwd/dx/dw independently) from the measured
+            # dispatch table (ops/conv_dispatch.json; VERDICT r4 item 5)
+            # gated by per-pass VMEM fit.  Big-channel convs (U-Net
+            # bottleneck/decoder) fail every fit check — their
             # packed-weight / dw-gradient blocks exceed VMEM at any depth
             # block — and are exactly the shapes XLA's conv already runs
             # well, so they take the XLA round-trip below while the model
             # stays in the spatial-major layout.
-            use = (
-                jax.default_backend() == "tpu"
-                and lowc_supported(H, W)
-                and conv_ndcs_fits(cin, self.features, H, W, self.dtype)
-            )
+            if jax.default_backend() == "tpu" and lowc_supported(H, W):
+                from icsg3d_tpu.ops.lowc_conv import (
+                    conv_ndcs_mix, dispatch_impls,
+                )
+
+                impls = dispatch_impls(cin, self.features, H, W, self.dtype)
+                if impls != ("xla", "xla", "xla"):
+                    return conv_ndcs_mix(x, kernel, bias, (H, W), impls)
+            use = False
         if use:
             return conv_ndcs(x, kernel, bias, (H, W))
         xh = from_ndcs(x, H, W)

@@ -633,6 +633,175 @@ def _conv_ndcs_valid_bwd(hw, interpret, dblk, res, g):
 conv_ndcs_valid.defvjp(_conv_ndcs_valid_fwd, _conv_ndcs_valid_bwd)
 
 
+# ---------------------------------------------------------------------------
+# per-pass implementation dispatch (VERDICT r4 item 5)
+# ---------------------------------------------------------------------------
+#
+# The round-4 whole-step measurement (output/ns10k/ndcs_step.json) showed
+# per-MODEL layout choice saturating at 33% MFU: the Pallas kernel wins
+# the forward at low-channel shapes but its dx/dw lose to XLA's
+# kernel-gradient convs at bigger channel counts — and vice versa.  The
+# remedy is choosing the implementation PER SHAPE and PER PASS
+# (fwd/dx/dw independently), from a table measured once per shape on
+# hardware (tools/lowc_shapes_bench.py --passes).
+
+
+def _xla_conv_ndcs(x, w, bias, hw):
+    """XLA SAME conv on spatial-major input via an NDHWC round-trip."""
+    H, W = hw
+    xh = from_ndcs(x, H, W)
+    y = jax.lax.conv_general_dilated(
+        xh, w.astype(x.dtype), (1, 1, 1), "SAME",
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+    )
+    if bias is not None:
+        y = y + bias.reshape(1, 1, 1, 1, -1)
+    return to_ndcs(y.astype(x.dtype))
+
+
+def _xla_dw_ndcs(x, g, w_shape, hw):
+    """Weight gradient via XLA's kernel-gradient conv (all-f32 NDHWC;
+    the large-M contraction XLA tiles well — conv3d_lowc_vjp note)."""
+    H, W = hw
+    xf = from_ndcs(x, H, W).astype(jnp.float32)
+    gf = from_ndcs(g, H, W).astype(jnp.float32)
+
+    def conv_w(weights):
+        return jax.lax.conv_general_dilated(
+            xf, weights, (1, 1, 1), "SAME",
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+        )
+
+    _, w_vjp = jax.vjp(conv_w, jnp.zeros(w_shape, jnp.float32))
+    (dw,) = w_vjp(gf)
+    return dw
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def conv_ndcs_mix(
+    x, w, bias, hw,
+    impls: tuple = ("pallas", "pallas", "pallas"),
+    interpret: bool = False, dblk: int = 0,
+):
+    """Differentiable spatial-major conv with per-pass implementation
+    choice: impls = (fwd, dx, dw), each "pallas" or "xla".
+
+    Same math and API as conv_ndcs for every combination (tested in
+    tests/test_lowc_conv.py); ("pallas","pallas","pallas") is exactly
+    conv_ndcs, ("xla","xla","xla") is the NDHWC round-trip fallback.
+    """
+    H, W = hw
+    cout = w.shape[-1]
+    if impls[0] == "pallas":
+        return conv3d_lowc_ndcs(
+            x,
+            pack_weights(w).astype(x.dtype),
+            bias.reshape(cout, 1).astype(jnp.float32),
+            W=W,
+            interpret=interpret,
+            dblk=dblk,
+        )
+    return _xla_conv_ndcs(x, w, bias, hw)
+
+
+def _conv_ndcs_mix_fwd(x, w, bias, hw, impls, interpret, dblk):
+    return conv_ndcs_mix(x, w, bias, hw, impls, interpret, dblk), (x, w)
+
+
+def _conv_ndcs_mix_bwd(hw, impls, interpret, dblk, res, g):
+    x, w = res
+    H, W = hw
+    cin, cout = w.shape[-2], w.shape[-1]
+    if impls[1] == "pallas":
+        dx = conv3d_lowc_ndcs(
+            g,
+            pack_weights(_flip_w(w)).astype(g.dtype),
+            jnp.zeros((cin, 1), jnp.float32),
+            W=W,
+            interpret=interpret,
+            dblk=dblk,
+        )
+    else:
+        dx = _xla_conv_ndcs(g, _flip_w(w), None, hw)
+    if impls[2] == "pallas":
+        dwt = conv3d_lowc_ndcs_dw(
+            x, g.astype(x.dtype), W=W, interpret=interpret, dblk=dblk
+        )
+        dw = unpack_weight_grad(dwt, cin, cout)
+    else:
+        dw = _xla_dw_ndcs(x, g, w.shape, hw)
+    db = jnp.sum(g.astype(jnp.float32), axis=(0, 1, 3))
+    return dx.astype(x.dtype), dw, db
+
+
+conv_ndcs_mix.defvjp(_conv_ndcs_mix_fwd, _conv_ndcs_mix_bwd)
+
+
+def conv_pass_fits(
+    cin: int, cout: int, H: int, W: int, dtype=jnp.bfloat16
+):
+    """Per-pass VMEM-fit: (fwd_fits, dx_fits, dw_fits) — the decomposed
+    form of conv_ndcs_fits, so the dispatcher can run a Pallas pass that
+    fits even when a sibling pass would not."""
+    it = jnp.dtype(dtype).itemsize
+    gran = _sublane_granule(dtype)
+    cp = _round_up(cin, gran)
+    cop = _round_up(cout, gran)
+    S = H * W
+    sp = S + 2 * _APRON
+    budget = 12 * 1024 * 1024
+    fwd = 3 * cp * sp * it + 2 * cout * S * it + 9 * cout * sp * 4 \
+        + 9 * cout * 3 * cp * it
+    dx = 3 * cop * sp * it + 2 * cin * S * it + 9 * cin * sp * 4 \
+        + 9 * cin * 3 * cop * it
+    dw = 3 * cp * sp * it + 2 * cout * S * it + 2 * 9 * cout * 3 * cp * 4 \
+        + 9 * cout * sp * it + 3 * cout * sp * 4
+    return fwd <= budget, dx <= budget, dw <= budget
+
+
+# Measured per-shape, per-pass implementation table.  Keys
+# "cin,cout,H,W" -> ["pallas"|"xla", ...] for (fwd, dx, dw); produced by
+# tools/lowc_shapes_bench.py --passes --write-dispatch on real hardware
+# and shipped as ops/conv_dispatch.json.  Missing shapes fall back to
+# the fit-check policy (Pallas where every pass fits).
+_DISPATCH_TABLE = None
+
+
+def _load_dispatch_table():
+    global _DISPATCH_TABLE
+    if _DISPATCH_TABLE is None:
+        import json
+        import os
+
+        path = os.path.join(os.path.dirname(__file__), "conv_dispatch.json")
+        try:
+            with open(path) as f:
+                _DISPATCH_TABLE = {
+                    k: tuple(v) for k, v in json.load(f)["table"].items()
+                }
+        except (OSError, ValueError, KeyError):
+            _DISPATCH_TABLE = {}
+    return _DISPATCH_TABLE
+
+
+def dispatch_impls(cin: int, cout: int, H: int, W: int, dtype=jnp.bfloat16):
+    """(fwd, dx, dw) implementation choice for this conv shape.
+
+    Measured table first; fit-gated per pass (a table entry saying
+    "pallas" for a pass that no longer fits VMEM is overridden to
+    "xla").  Unknown shapes: Pallas for every pass that fits — the
+    pre-dispatch behavior.
+    """
+    fits = conv_pass_fits(cin, cout, H, W, dtype)
+    table = _load_dispatch_table()
+    entry = table.get(f"{cin},{cout},{H},{W}")
+    if entry is None:
+        entry = ("pallas",) * 3
+    return tuple(
+        e if (e == "xla" or fit) else "xla" for e, fit in zip(entry, fits)
+    )
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
 def conv3d_lowc_vjp(x, w, bias, interpret: bool = False):
     """conv3d_lowc with gradients: dx via the same Pallas kernel on

@@ -125,9 +125,21 @@ def main():
     ap.add_argument("--grad", action="store_true",
                     help="also time fwd+dx+dw: XLA kernel-grad conv vs the "
                          "Pallas custom-vjp (conv_ndcs) per shape")
+    ap.add_argument("--passes", action="store_true",
+                    help="time each pass (fwd/dx/dw) x each implementation "
+                         "(pallas/xla-with-transposes) separately — the "
+                         "measurement behind the per-pass dispatch table "
+                         "(VERDICT r4 item 5)")
+    ap.add_argument("--write-dispatch", action="store_true",
+                    help="write the measured per-pass winners to "
+                         "icsg3d_tpu/ops/conv_dispatch.json (implies "
+                         "--passes)")
     ap.add_argument("--only", type=str, default=None)
     ap.add_argument("--out", default="output/ns10k/lowc_shapes.json")
     args = ap.parse_args()
+
+    if args.write_dispatch:
+        args.passes = True
 
     rng = np.random.default_rng(0)
     rows = []
@@ -197,6 +209,73 @@ def main():
                     )
             except Exception as e:  # noqa: BLE001
                 row["ndcs_grad_error"] = str(e)[:300]
+        if args.passes:
+            from icsg3d_tpu.ops.lowc_conv import (
+                _flip_w, _xla_conv_ndcs, _xla_dw_ndcs, conv3d_lowc_ndcs,
+                conv3d_lowc_ndcs_dw, conv_pass_fits, lowc_supported,
+                pack_weights,
+            )
+
+            if not lowc_supported(s, s):
+                row["passes"] = "unsupported_plane"
+            else:
+                fits = conv_pass_fits(cin, cout, s, s)
+                xt = jnp.asarray(
+                    rng.standard_normal((args.bs, s, cin, s * s)),
+                    jnp.bfloat16,
+                )
+                gt = jnp.asarray(
+                    rng.standard_normal((args.bs, s, cout, s * s)),
+                    jnp.bfloat16,
+                )
+                bz = jnp.zeros((cout,), jnp.float32)
+                wt = pack_weights(w).astype(jnp.bfloat16)
+                wft = pack_weights(_flip_w(w)).astype(jnp.bfloat16)
+                bz2 = jnp.zeros((cout, 1), jnp.float32)
+                bz2i = jnp.zeros((cin, 1), jnp.float32)
+                cases = {
+                    # fwd: x already resident in ndcs — no entry transpose
+                    "fwd_pallas": (
+                        (lambda a, ww: conv3d_lowc_ndcs(a, ww, bz2, W=s)),
+                        (xt, wt), fits[0]),
+                    "fwd_xla": (
+                        (lambda a, ww: _xla_conv_ndcs(a, ww, bz, (s, s))),
+                        (xt, w), True),
+                    # dx: cotangent g in ndcs -> dx in ndcs
+                    "dx_pallas": (
+                        (lambda a, ww: conv3d_lowc_ndcs(a, ww, bz2i, W=s)),
+                        (gt, wft), fits[1]),
+                    "dx_xla": (
+                        (lambda a, ww: _xla_conv_ndcs(a, ww, None, (s, s))),
+                        (gt, _flip_w(w)), True),
+                    # dw: (x, g) in ndcs -> (3,3,3,cin,cout)
+                    "dw_pallas": (
+                        (lambda a, gg: conv3d_lowc_ndcs_dw(a, gg, W=s)),
+                        (xt, gt), fits[2]),
+                    "dw_xla": (
+                        (lambda a, gg: _xla_dw_ndcs(
+                            a, gg, (3, 3, 3, cin, cout), (s, s))),
+                        (xt, gt), True),
+                }
+                for cname, (fn, fargs, fit) in cases.items():
+                    if not fit:
+                        row[cname + "_ms"] = None
+                        continue
+                    try:
+                        dt = chain_time(fn, *fargs)
+                        row[cname + "_ms"] = round(dt * 1e3, 3)
+                    except Exception as e:  # noqa: BLE001
+                        row[cname + "_error"] = str(e)[:200]
+                        row[cname + "_ms"] = None
+                winners = []
+                for p in ("fwd", "dx", "dw"):
+                    pm = row.get(f"{p}_pallas_ms")
+                    xm = row.get(f"{p}_xla_ms")
+                    if pm is not None and (xm is None or pm <= xm):
+                        winners.append("pallas")
+                    else:
+                        winners.append("xla")
+                row["pass_winners"] = winners
         if args.raw:
             try:
                 from icsg3d_tpu.ops.lowc_conv import (
@@ -223,6 +302,41 @@ def main():
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
     with open(args.out, "w") as f:
         json.dump(rows, f, indent=1)
+
+    if args.write_dispatch:
+        import datetime
+
+        table = {}
+        for row in rows:
+            if "pass_winners" not in row:
+                continue
+            key = f"{row['cin']},{row['cout']},{row['s']},{row['s']}"
+            table[key] = row["pass_winners"]
+        path = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "icsg3d_tpu", "ops", "conv_dispatch.json",
+        )
+        # merge: shapes measured at other -d values stay
+        try:
+            with open(path) as f:
+                prev = json.load(f)["table"]
+        except (OSError, ValueError, KeyError):
+            prev = {}
+        prev.update(table)
+        with open(path, "w") as f:
+            json.dump(
+                {
+                    "table": prev,
+                    "meta": {
+                        "bs": args.bs, "d": args.d,
+                        "platform": jax.devices()[0].platform,
+                        "written": datetime.datetime.now().isoformat(
+                            timespec="seconds"),
+                    },
+                },
+                f, indent=1,
+            )
+        print(f"dispatch table ({len(prev)} shapes) -> {path}")
 
 
 if __name__ == "__main__":
