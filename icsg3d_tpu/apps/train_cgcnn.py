@@ -152,6 +152,13 @@ def main(argv=None):
     if resuming:
         state = _ck.restore(state, "latest")
         print(f"resumed from {args.ckpt}/latest at step {int(state.step)}")
+        # see apps/train_vae.py: truncate prior history beyond the
+        # checkpoint's epoch count (crash-resume double-count, ADVICE r4)
+        resumed_epochs = int(state.step) // max(
+            1, len(train_idx) // args.batch_size
+        )
+    else:
+        resumed_epochs = None
     state, history = train_cgcnn(
         model, state,
         batches(train_idx, shuffle=True, seed_offset=int(state.step)),
@@ -167,7 +174,10 @@ def main(argv=None):
     if args.resume and os.path.exists(hist_path):
         try:
             with open(hist_path) as f:
-                history = _json.load(f) + history
+                prev = _json.load(f)
+            if resumed_epochs is not None:
+                prev = prev[:resumed_epochs]
+            history = prev + history
         except (ValueError, OSError):
             pass
     with open(hist_path, "w") as f:

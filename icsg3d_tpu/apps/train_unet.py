@@ -94,6 +94,12 @@ def main(argv=None):
     if resuming:
         state = _ck.restore(state, "latest")
         print(f"resumed from {args.ckpt}/latest at step {int(state.step)}")
+        # see apps/train_vae.py: _finish truncates prior history beyond
+        # the checkpoint's epoch count to avoid double-counting re-trained
+        # epochs after a crash between latest-saves (ADVICE r4)
+        args._resumed_epochs = int(state.step) // max(
+            1, len(train_ids) // args.batch_size
+        )
 
     # inverse-frequency weights over the TRAINING split only, zero class
     # zeroed (train_unet.py:114-119)
@@ -225,7 +231,11 @@ def _finish(args, history):
     if args.resume and os.path.exists(hist_path):
         try:
             with open(hist_path) as f:
-                history = _json.load(f) + history
+                prev = _json.load(f)
+            done = getattr(args, "_resumed_epochs", None)
+            if done is not None:
+                prev = prev[:done]
+            history = prev + history
         except (ValueError, OSError):
             pass
     viz.plot_losses(

@@ -153,6 +153,14 @@ def main(argv=None):
     if resuming:
         state = _ck.restore(state, "latest")
         print(f"resumed from {args.ckpt}/latest at step {int(state.step)}")
+        # epochs actually IN this checkpoint — _finish truncates any
+        # prior-history tail beyond it (a crash can leave `latest` up to
+        # ckpt_every-1 epochs behind history.json, and the resumed run
+        # re-trains those epochs; appending without truncation
+        # double-counted them — ADVICE r4)
+        args._resumed_epochs = int(state.step) // max(
+            1, len(train_ids) // args.batch_size
+        )
         _mark("resume restore")
 
     unet = unet_vars = None
@@ -282,7 +290,14 @@ def _finish(args, history):
     if args.resume and os.path.exists(hist_path):
         try:
             with open(hist_path) as f:
-                history = _json.load(f) + history
+                prev = _json.load(f)
+            # truncate to the resumed checkpoint's epoch count: entries
+            # beyond it were re-trained by this run (crash between
+            # latest-saves) and would double-count
+            done = getattr(args, "_resumed_epochs", None)
+            if done is not None:
+                prev = prev[:done]
+            history = prev + history
         except (ValueError, OSError):
             pass  # unreadable prior history: keep this chunk's alone
     viz.plot_losses(

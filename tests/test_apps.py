@@ -613,6 +613,27 @@ class TestHistoryAppend:
             hist = json.load(f)
         assert [h["train"]["loss"] for h in hist] == [1.0]
 
+    @pytest.mark.parametrize("mod", ["train_vae", "train_unet"])
+    def test_crash_resume_truncates_retrained_epochs(self, tmp_path, mod):
+        """With --ckpt-every N > 1, a crash can leave `latest` behind the
+        history tail; the resumed run re-trains those epochs and must not
+        double-count them (ADVICE r4)."""
+        import importlib
+        import json
+
+        _finish = importlib.import_module(f"icsg3d_tpu.apps.{mod}")._finish
+        # first run wrote 3 epochs to history, but crashed after a
+        # latest-save at epoch 2: the checkpoint holds 2 epochs
+        _finish(self._args(tmp_path, False),
+                [self._entry(3.0), self._entry(2.5), self._entry(2.0)])
+        args = self._args(tmp_path, True)
+        args._resumed_epochs = 2
+        # resumed run re-trains epoch 3 (and one more)
+        _finish(args, [self._entry(1.9), self._entry(1.5)])
+        with open(tmp_path / "history.json") as f:
+            hist = json.load(f)
+        assert [h["train"]["loss"] for h in hist] == [3.0, 2.5, 1.9, 1.5]
+
     def test_corrupt_prior_history_is_ignored(self, tmp_path):
         import json
 
