@@ -115,8 +115,21 @@ class CheckpointManager:
                 os.rename(cand, path)
                 return
 
+    def _write_progress(self, step: int) -> None:
+        """Sidecar recording what `latest` holds — campaign scripts derive
+        remaining epochs as step // steps_per_epoch from it instead of
+        history.json (which is only written on clean exit and undercounts
+        after a crash; ADVICE r4).  step is cumulative across resume
+        chunks, unlike the per-run epoch index."""
+        meta = os.path.join(self.directory, "progress.json")
+        tmp = meta + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"step": int(step)}, f)
+        os.replace(tmp, meta)
+
     def save_latest(self, state):
         self._save_swap("latest", jax.device_get(self._tree(state)))
+        self._write_progress(int(jax.device_get(state.step)))
 
     def save_epoch(
         self, state, metric: float, epoch: int, latest_every: int = 1
@@ -154,6 +167,7 @@ class CheckpointManager:
             os.replace(tmp, meta)  # atomic: no truncated json on kill
         if tree is not None:
             self._save_swap("latest", tree)
+            self._write_progress(int(tree["step"]))
         return improved
 
     def restore(self, state, which: str = "best"):

@@ -162,12 +162,15 @@ def make_unet_steps(model: UNet3D, class_weights=None, resident: bool = False):
     )
 
 
-def make_unet_epoch_fns(model: UNet3D, class_weights=None):
+def make_unet_epoch_fns(model: UNet3D, class_weights=None,
+                        field_shapes=None):
     """Whole-epoch jitted programs for an HBM-resident split — the U-Net
     mirror of train/vae.py make_vae_epoch_fns (see there for the full
     rationale: one permutation upload + one metrics fetch per epoch,
     compiler-visible lax.scan control flow, single-process full-schedule
-    runs over the leaky remote plugin).
+    runs over the leaky remote plugin; and for field_shapes — resident
+    fields stored flat as (N, K) so XLA gathers them in place instead of
+    relayouting multi-GB operands into padded temp copies).
 
     train_epoch(state, data, perm) -> (state, mean_metrics)
     val_epoch(state, data, idx) -> mean_metrics
@@ -180,7 +183,13 @@ def make_unet_epoch_fns(model: UNet3D, class_weights=None):
     cw = jnp.ones(nc) if class_weights is None else jnp.asarray(class_weights)
 
     def _gather(data, idx):
-        return {k: v[idx] for k, v in data.items()}
+        out = {}
+        for k, v in data.items():
+            g = v[idx]
+            if field_shapes and k in field_shapes:
+                g = g.reshape((idx.shape[0],) + tuple(field_shapes[k]))
+            out[k] = g
+        return out
 
     def _mean0(mets):
         return jax.tree_util.tree_map(lambda a: jnp.mean(a, axis=0), mets)
@@ -348,9 +357,9 @@ def train_unet(
     if epoch_scan and not resident:
         raise ValueError("epoch_scan requires resident_data")
     if epoch_scan:
-        train_epoch_fn, val_epoch_fn = make_unet_epoch_fns(
-            model, class_weights
-        )
+        # built in the resident block below once the flat field shapes
+        # are known (see make_unet_epoch_fns field_shapes)
+        train_epoch_fn = val_epoch_fn = None
         train_step = eval_step = None
     else:
         train_step, eval_step = make_unet_steps(
@@ -382,6 +391,24 @@ def train_unet(
                     "no train batches: the train split is smaller than the "
                     "batch size (remainders are dropped)"
                 )
+            # flat (N, K) resident fields — see train/vae.py
+            field_shapes = {}
+
+            def _flatten_resident(dd):
+                out = {}
+                for k, v in dd.items():
+                    if v.ndim >= 3:
+                        field_shapes[k] = v.shape[1:]
+                        out[k] = v.reshape(v.shape[0], -1)
+                    else:
+                        out[k] = v
+                return out
+
+            t_dev = _flatten_resident(t_dev)
+            v_dev = _flatten_resident(v_dev) if v_dev else None
+            train_epoch_fn, val_epoch_fn = make_unet_epoch_fns(
+                model, class_weights, field_shapes=field_shapes
+            )
             perm_sharding = NamedSharding(mesh, PartitionSpec(None, "data"))
             val_idx = (
                 jax.device_put(

@@ -230,6 +230,7 @@ def make_vae_epoch_fns(
     unet: Optional[UNet3D] = None,
     unet_variables=None,
     remat_perceptual: bool = False,
+    field_shapes: Optional[dict] = None,
 ):
     """Whole-epoch jitted programs for an HBM-RESIDENT split.
 
@@ -264,10 +265,26 @@ def make_vae_epoch_fns(
     host loop, so from an identical starting key the two paths draw
     bitwise-identical reparameterization noise across the whole run
     (tests/test_train.py::TestEpochScan).
+
+    field_shapes: per-sample shapes of resident fields stored FLAT as
+    (N, prod(shape)); the gather reshapes rows back per batch.  Flat
+    storage is the ns10k-scale memory fix: with the natural 5-D shapes,
+    XLA relayouts the multi-GB cache/density operands for the in-loop
+    gather (lane-padded temp copies — 13.7 G of HLO temps at the
+    flagship config, the round-4 compile-OOM at 24.07 G vs 15.75 G HBM);
+    a (N, K) layout with K a lane multiple has one natural layout, so
+    the operands are gathered in place and the per-batch reshape is a
+    ~MB-scale fused copy.
     """
 
     def _gather(data, idx):
-        return {k: v[idx] for k, v in data.items()}
+        out = {}
+        for k, v in data.items():
+            g = v[idx]
+            if field_shapes and k in field_shapes:
+                g = g.reshape((idx.shape[0],) + tuple(field_shapes[k]))
+            out[k] = g
+        return out
 
     def _losses(params, batch_stats, batch, rng, train):
         return _vae_losses(
@@ -548,10 +565,10 @@ def train_vae(
     if epoch_scan and not resident:
         raise ValueError("epoch_scan requires resident_data")
     if epoch_scan:
-        train_epoch_fn, val_epoch_fn = make_vae_epoch_fns(
-            model, unet, unet_variables,
-            remat_perceptual=remat_perceptual,
-        )
+        # built in the resident block below, once the data dict (incl.
+        # any feature cache) is known: the fields are stored FLAT and
+        # the epoch programs need their per-sample shapes
+        train_epoch_fn = val_epoch_fn = None
         train_step = eval_step = None
     else:
         train_step, eval_step = make_vae_steps(
@@ -600,6 +617,28 @@ def train_vae(
                     "batch size (remainders are dropped, vae/data.py:45 "
                     "parity)"
                 )
+            # flatten every >=3-D resident field to (N, K): see
+            # make_vae_epoch_fns — avoids XLA's multi-GB relayout temp
+            # copies of the gather operands (round-4 compile-OOM)
+            field_shapes = {}
+
+            def _flatten_resident(dd):
+                out = {}
+                for k, v in dd.items():
+                    if v.ndim >= 3:
+                        field_shapes[k] = v.shape[1:]
+                        out[k] = v.reshape(v.shape[0], -1)
+                    else:
+                        out[k] = v
+                return out
+
+            t_dev = _flatten_resident(t_dev)
+            v_dev = _flatten_resident(v_dev) if v_dev else None
+            train_epoch_fn, val_epoch_fn = make_vae_epoch_fns(
+                model, unet, unet_variables,
+                remat_perceptual=remat_perceptual,
+                field_shapes=field_shapes,
+            )
             # (n_steps, batch) index blocks: replicated over steps, each
             # step's row split over the data axis like the per-step path
             perm_sharding = NamedSharding(mesh, PartitionSpec(None, "data"))

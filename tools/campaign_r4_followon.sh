@@ -73,10 +73,16 @@ for stage in ${*:-bench64 realcif unet vaefb genfb evalfb}; do
       # ~250, so the plugin's per-array creep never builds up and no
       # chunking (hence no per-chunk teardown claim tax) is needed.
       # Falls back to the proven chunked campaign on any failure.
+      # --resume guarded on checkpoint existence: re-invoking this
+      # script after an interruption must continue, not restart from
+      # epoch 0 over the existing latest (ADVICE r4).
+      uextra=()
+      [ -d checkpoints/ns10k/unet/latest ] && uextra=(--resume)
       run unet 7200 python -m icsg3d_tpu.apps.train_unet \
         --data data/ns10k --ckpt checkpoints/ns10k/unet \
         --batch-size 64 --lr 3e-6 --nrot 0 --epochs 50 \
         --resident --ship-dtype float16 --epoch-scan --ckpt-every 10 \
+        ${uextra[@]+"${uextra[@]}"} \
         || { stamp "unet epoch-scan FAILED; falling back to chunked"; \
              bash tools/campaign_ns10k.sh unet || exit 1; }
       ;;
@@ -86,16 +92,45 @@ for stage in ${*:-bench64 realcif unet vaefb genfb evalfb}; do
       # remains the fallback and resumes from wherever a failed scan run
       # checkpointed (mid-run latest saves every 25 epochs).
       total=${VAEFB_EPOCHS:-250}
+      # derive epochs already in the checkpoint (step / steps-per-epoch,
+      # 8000-sample train split) so BOTH the scan attempt and the chunk
+      # fallback train only the remainder — a scan run that checkpointed
+      # partway previously caused the fallback to restart its count at 0
+      # and overshoot the schedule (ADVICE r4)
+      # step // steps-per-epoch from the latest-save sidecar (62 =
+      # 8000-sample train split / bs 128); cumulative across chunks and
+      # correct even after a crash (history.json is end-of-run only)
+      epochs_done() {
+        python - <<'PY'
+import json
+try:
+    with open("checkpoints/ns10k/vae_fb/progress.json") as f:
+        print(json.load(f)["step"] // 62)
+except Exception:
+    print(0)
+PY
+      }
+      done_e=0; first=1; vextra=()
+      if [ -d checkpoints/ns10k/vae_fb/latest ]; then
+        first=0; vextra=(--resume)
+        done_e=$(epochs_done)
+      fi
+      rem=$((total - done_e)); [ $rem -le 0 ] && { stamp "vaefb already complete"; continue; }
       run vaefb_scan 10800 python -m icsg3d_tpu.apps.train_vae \
         --data data/ns10k --ckpt checkpoints/ns10k/vae_fb \
         --unet-ckpt checkpoints/ns10k/unet --kld-floor $KLD_FLOOR \
-        --batch-size 128 --lr 5e-4 --nrot 0 --epochs $total \
+        --batch-size 128 --lr 5e-4 --nrot 0 --epochs $rem \
         --cache-true-features --plot-every 5 \
         --resident --ship-dtype float16 --epoch-scan --ckpt-every 25 \
+        ${vextra[@]+"${vextra[@]}"} \
         && { stamp "vaefb complete (epoch-scan)"; continue; }
       stamp "vaefb epoch-scan FAILED; falling back to chunked resume"
-      done_e=0; first=0; fails=0
-      [ -d checkpoints/ns10k/vae_fb/latest ] || first=1
+      fails=0
+      # re-derive progress: the failed scan attempt may have advanced it
+      if [ -d checkpoints/ns10k/vae_fb/latest ]; then
+        first=0
+        done_e=$(epochs_done)
+      fi
       # frozen-net true-grid taps cached once per chunk (9.9 GB HBM at
       # 32^3); dropped automatically after 2 consecutive chunk failures
       # in case the cache + leak creep exhausts HBM (the 64^3 OOM lesson)

@@ -38,6 +38,9 @@ def main():
     p.add_argument("--cpu", action="store_true")
     p.add_argument("--remat", action="store_true",
                    help="price with remat_perceptual=True")
+    p.add_argument("--flat", action="store_true",
+                   help="price the flat (N, K) resident-field layout "
+                        "(the production epoch-scan path)")
     args = p.parse_args()
 
     if args.cpu:
@@ -69,10 +72,6 @@ def main():
     uvars = jax.tree_util.tree_map(
         np.asarray, {"params": ustate.params, "batch_stats": ustate.batch_stats}
     )
-    train_epoch, _ = make_vae_epoch_fns(
-        vae, unet, uvars, remat_perceptual=args.remat
-    )
-
     n = args.n
     steps = args.steps or n // args.batch_size
     data = {
@@ -91,6 +90,24 @@ def main():
             data[f"pfeat_{tap}"] = jax.ShapeDtypeStruct(
                 (n,) + t.shape[1:], t.dtype
             )
+
+    field_shapes = None
+    if args.flat:
+        field_shapes = {}
+        flat = {}
+        for k, v in data.items():
+            if len(v.shape) >= 3:
+                field_shapes[k] = v.shape[1:]
+                flat[k] = jax.ShapeDtypeStruct(
+                    (v.shape[0], int(np.prod(v.shape[1:]))), v.dtype
+                )
+            else:
+                flat[k] = v
+        data = flat
+    train_epoch, _ = make_vae_epoch_fns(
+        vae, unet, uvars, remat_perceptual=args.remat,
+        field_shapes=field_shapes,
+    )
 
     perm = jax.ShapeDtypeStruct((steps, args.batch_size), jnp.int32)
     key = jax.ShapeDtypeStruct((), jax.random.key(0).dtype)
