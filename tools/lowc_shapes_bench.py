@@ -62,22 +62,26 @@ def vae_conv_shapes(d: int, cond_ch: int = 10):
 def chain_time(fn, x, *rest, n=20, warmup=1):
     """Time fn via an in-jit fori_loop chain: n dependent executions inside
     ONE dispatch, so the tunnel's multi-ms per-call overhead amortizes away
-    (independent dispatches also measure bogusly fast — see CLAUDE.md)."""
+    (independent dispatches also measure bogusly fast — see CLAUDE.md).
+
+    rest operands are jit ARGUMENTS, not closure constants: a closed-over
+    multi-hundred-MB cotangent tensor gets embedded in the HLO and the
+    remote compile helper rejects the request (HTTP 413)."""
 
     @jax.jit
-    def loop(x):
+    def loop(x, *rest):
         def body(_, x):
             out = fn(x, *rest)
             return x * (1 + 1e-30 * jnp.sum(out[..., :1]).astype(x.dtype))
         return jax.lax.fori_loop(0, n, body, x)
 
-    y = loop(x)
+    y = loop(x, *rest)
     jax.device_get(y.ravel()[0])
     for _ in range(warmup):
-        y = loop(y)
+        y = loop(y, *rest)
     jax.device_get(y.ravel()[0])
     t0 = time.perf_counter()
-    y = loop(y)
+    y = loop(y, *rest)
     jax.device_get(y.ravel()[0])
     return (time.perf_counter() - t0 - 0.004) / n  # ~4ms dispatch floor
 
