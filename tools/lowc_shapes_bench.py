@@ -275,7 +275,12 @@ def main():
                 for p in ("fwd", "dx", "dw"):
                     pm = row.get(f"{p}_pallas_ms")
                     xm = row.get(f"{p}_xla_ms")
-                    if pm is not None and (xm is None or pm <= xm):
+                    # prefer pallas within a 10% margin: the isolated
+                    # xla timings include their own transposes, but
+                    # in-graph they also break fusion around neighboring
+                    # ndcs ops — marginal isolated wins did not survive
+                    # the whole-step A/B (round-5 measurement)
+                    if pm is not None and (xm is None or pm <= 1.1 * xm):
                         winners.append("pallas")
                     else:
                         winners.append("xla")
