@@ -375,8 +375,26 @@ def train_unet(
 
         t_host, v_host = resident_data
         repl = NamedSharding(mesh, PartitionSpec())
-        t_dev = jax.device_put(t_host, repl)
-        v_dev = jax.device_put(v_host, repl) if v_host else None
+        # epoch-scan resident fields upload FLAT (host-side numpy views;
+        # see train/vae.py — an eager device-side reshape transiently
+        # doubles multi-GB fields)
+        field_shapes = {}
+
+        def _flatten_host(dd):
+            out = {}
+            for k, v in dd.items():
+                if v.ndim >= 3:
+                    field_shapes[k] = v.shape[1:]
+                    out[k] = v.reshape(v.shape[0], -1)
+                else:
+                    out[k] = v
+            return out
+
+        t_up = _flatten_host(t_host) if epoch_scan else t_host
+        v_up = (_flatten_host(v_host) if epoch_scan else v_host) \
+            if v_host else None
+        t_dev = jax.device_put(t_up, repl)
+        v_dev = jax.device_put(v_up, repl) if v_up else None
         n_train = len(next(iter(t_host.values())))
         n_val = len(next(iter(v_host.values()))) if v_host else 0
         idx_sharding = batch_sharding(mesh)
@@ -391,21 +409,6 @@ def train_unet(
                     "no train batches: the train split is smaller than the "
                     "batch size (remainders are dropped)"
                 )
-            # flat (N, K) resident fields — see train/vae.py
-            field_shapes = {}
-
-            def _flatten_resident(dd):
-                out = {}
-                for k, v in dd.items():
-                    if v.ndim >= 3:
-                        field_shapes[k] = v.shape[1:]
-                        out[k] = v.reshape(v.shape[0], -1)
-                    else:
-                        out[k] = v
-                return out
-
-            t_dev = _flatten_resident(t_dev)
-            v_dev = _flatten_resident(v_dev) if v_dev else None
             train_epoch_fn, val_epoch_fn = make_unet_epoch_fns(
                 model, class_weights, field_shapes=field_shapes
             )

@@ -339,6 +339,8 @@ def make_vae_epoch_fns(
 def precompute_true_features(
     model: ConditionalDFCVAE, unet: UNet3D, unet_variables,
     data_dev, batch_size: int,
+    field_shapes: Optional[dict] = None,
+    flat: bool = False,
 ):
     """True-grid perceptual tap activations for a whole resident split.
 
@@ -355,6 +357,14 @@ def precompute_true_features(
     training run, vs one per sample per epoch (250x for the reference
     schedule).  HBM: ~1.24 MB/sample bf16 at 32^3 (9.9 GB for the 10k
     campaign's 8k-sample train split) — the caller gates on this.
+
+    field_shapes: per-sample shapes of data_dev fields that are stored
+    FLAT (the epoch-scan path); the per-batch unflatten happens inside
+    the jit (a free bitcast).  flat=True returns each tap as (N, K) —
+    also an in-jit reshape, so the multi-GB cache never exists in both
+    layouts at once (an eager post-hoc reshape transiently doubled it
+    and OOM'd the flagship run).  The tap shapes come back in a second
+    dict for the epoch program's gather-unflatten.
     """
     cfg = model.cfg
     n = len(next(iter(data_dev.values())))
@@ -368,6 +378,12 @@ def precompute_true_features(
 
     @jax.jit
     def _all_feats(fields):
+        if field_shapes:
+            fields = {
+                k: (v.reshape((v.shape[0],) + tuple(field_shapes[k]))
+                    if k in field_shapes else v)
+                for k, v in fields.items()
+            }
         batched = jax.tree_util.tree_map(
             lambda v: jnp.concatenate([v, v[:pad]]).reshape(
                 (nb, batch_size) + v.shape[1:]
@@ -384,15 +400,35 @@ def precompute_true_features(
             )
 
         feats = jax.lax.map(body, batched)
-        return tuple(
+        out = tuple(
             f.reshape((nb * batch_size,) + f.shape[2:])[:n] for f in feats
         )
+        if flat:
+            out = tuple(f.reshape(n, -1) for f in out)
+        return out
 
+    tap_shapes = {
+        f"pfeat_{tap}": tuple(t.shape[1:])
+        for tap, t in zip(
+            cfg.perceptual_taps,
+            jax.eval_shape(
+                lambda xx: _perceptual_features(
+                    unet, unet_variables, xx, cfg.perceptual_taps
+                ),
+                jax.ShapeDtypeStruct(
+                    (1, cfg.grid.d, cfg.grid.d, cfg.grid.d,
+                     cfg.grid.channels),
+                    jnp.float32,
+                ),
+            ),
+        )
+    }
     feats = _all_feats(fields)
-    return {
+    cache = {
         f"pfeat_{tap}": f
         for tap, f in zip(cfg.perceptual_taps, feats)
     }
+    return (cache, tap_shapes) if flat else cache
 
 
 def true_feature_cache_bytes(
@@ -587,12 +623,39 @@ def train_vae(
 
         t_host, v_host = resident_data
         repl = NamedSharding(mesh, PartitionSpec())
-        t_dev = jax.device_put(t_host, repl)
-        v_dev = jax.device_put(v_host, repl) if v_host else None
+        # epoch-scan: resident fields live FLAT (N, K) on device — see
+        # make_vae_epoch_fns.  Flattening happens on the HOST (a free
+        # numpy view) BEFORE upload, and the feature cache is emitted
+        # flat from inside its jit: an eager device-side reshape of the
+        # ~10 GB cache transiently doubled it and OOM'd the flagship run.
+        field_shapes = {}
+
+        def _flatten_host(dd):
+            out = {}
+            for k, v in dd.items():
+                if v.ndim >= 3:
+                    field_shapes[k] = v.shape[1:]
+                    out[k] = v.reshape(v.shape[0], -1)
+                else:
+                    out[k] = v
+            return out
+
+        t_up = _flatten_host(t_host) if epoch_scan else t_host
+        v_up = (_flatten_host(v_host) if epoch_scan else v_host) \
+            if v_host else None
+        t_dev = jax.device_put(t_up, repl)
+        v_dev = jax.device_put(v_up, repl) if v_up else None
         if cache_true_features and unet is not None:
-            feats = precompute_true_features(
-                model, unet, unet_variables, t_dev, batch_size
-            )
+            if epoch_scan:
+                feats, tap_shapes = precompute_true_features(
+                    model, unet, unet_variables, t_dev, batch_size,
+                    field_shapes=field_shapes, flat=True,
+                )
+                field_shapes.update(tap_shapes)
+            else:
+                feats = precompute_true_features(
+                    model, unet, unet_variables, t_dev, batch_size
+                )
             t_dev = dict(t_dev)
             t_dev.update(
                 {k: jax.device_put(v, repl) for k, v in feats.items()}
@@ -617,23 +680,6 @@ def train_vae(
                     "batch size (remainders are dropped, vae/data.py:45 "
                     "parity)"
                 )
-            # flatten every >=3-D resident field to (N, K): see
-            # make_vae_epoch_fns — avoids XLA's multi-GB relayout temp
-            # copies of the gather operands (round-4 compile-OOM)
-            field_shapes = {}
-
-            def _flatten_resident(dd):
-                out = {}
-                for k, v in dd.items():
-                    if v.ndim >= 3:
-                        field_shapes[k] = v.shape[1:]
-                        out[k] = v.reshape(v.shape[0], -1)
-                    else:
-                        out[k] = v
-                return out
-
-            t_dev = _flatten_resident(t_dev)
-            v_dev = _flatten_resident(v_dev) if v_dev else None
             train_epoch_fn, val_epoch_fn = make_vae_epoch_fns(
                 model, unet, unet_variables,
                 remat_perceptual=remat_perceptual,
