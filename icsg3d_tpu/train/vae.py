@@ -657,14 +657,24 @@ def train_vae(
                     model, unet, unet_variables, t_dev, batch_size
                 )
             t_dev = dict(t_dev)
+            # the precompute outputs are already device-resident with the
+            # replicated layout on a single-chip mesh — a device_put here
+            # COPIES each multi-GB tap, and with the plugin's deferred
+            # frees the transient doubles stack up and OOM the scan
+            # program's arena before the first epoch
+            need_put = any(
+                getattr(v, "sharding", None) != repl for v in feats.values()
+            ) and len(mesh.devices.flat) > 1
             t_dev.update(
                 {k: jax.device_put(v, repl) for k, v in feats.items()}
+                if need_put else feats
             )
             log_fn(
                 "cached true-grid perceptual features: "
                 f"{sum(v.nbytes for v in feats.values()) / 1e9:.2f} GB "
                 "HBM; true-side U-Net forward skipped every step"
             )
+            del feats
         n_train = len(next(iter(t_host.values())))
         n_val = len(next(iter(v_host.values()))) if v_host else 0
         idx_sharding = batch_sharding(mesh)
@@ -713,7 +723,23 @@ def train_vae(
                 ),
                 perm_sharding,
             )
-            state, key, m = train_epoch_fn(state, t_dev, key, perm2d)
+            try:
+                state, key, m = train_epoch_fn(state, t_dev, key, perm2d)
+            except Exception:
+                if epoch == 0:  # OOM forensics: what actually occupies HBM
+                    try:
+                        ms = jax.local_devices()[0].memory_stats() or {}
+                        log_fn(
+                            "epoch-scan failed on epoch 0; device memory: "
+                            + ", ".join(
+                                f"{k}={v / 1e9:.2f}G"
+                                for k, v in sorted(ms.items())
+                                if "bytes" in k
+                            )
+                        )
+                    except Exception:  # stats are best-effort
+                        pass
+                raise
             train_mets.append(m)
             if nb_val:
                 key, vm_scan = val_epoch_fn(state, v_dev, key, val_idx)
