@@ -233,6 +233,12 @@ def main(argv=None):
     p.add_argument("--plots", default=None,
                    help="directory for error histograms and parity plots "
                         "(eval.py:230-322)")
+    p.add_argument("--binary-threshold", type=float, default=0.8,
+                   help="U-Net occupancy (sigmoid) threshold for the "
+                        "extraction mask (generate.py:224 default 0.8).  "
+                        "At 64³ the head is miscalibrated — 0.9 matches "
+                        "the true occupied fraction and halves EMD "
+                        "(tools/diag64_binary.py sweep)")
     p.add_argument("--eval-split", default="val", choices=("val", "train"),
                    help="which split to reconstruct+evaluate.  'train' is "
                         "a DIAGNOSTIC (never a headline number): comparing "
@@ -244,7 +250,8 @@ def main(argv=None):
     ds = GridDataset(args.data)
     args.d = common.resolve_grid_d(args.d, ds)
     grid = GridSpec(d=args.d)
-    pipe = PipelineConfig(grid=grid, cond_bins=args.cond_bins)
+    pipe = PipelineConfig(grid=grid, cond_bins=args.cond_bins,
+                          binary_threshold=args.binary_threshold)
     _, conds, _ = bin_and_encode(np.asarray(ds.arrays["target"]), args.cond_bins)
     # validation split without rotations (eval.py:130-142)
     train_ids, val_ids = data_split(

@@ -406,6 +406,10 @@ def main(argv=None):
     p.add_argument("--target", default="formation_energy_per_atom")
     p.add_argument("--cond-bins", type=int, default=10)
     common.add_vae_flags(p)
+    p.add_argument("--binary-threshold", type=float, default=0.8,
+                   help="U-Net occupancy (sigmoid) threshold for the "
+                        "extraction mask (generate.py:224 default 0.8; "
+                        "0.9 recommended at 64³ — tools/diag64_binary.py)")
     p.add_argument("--output", default="output/generated")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument(
@@ -429,7 +433,8 @@ def main(argv=None):
     ds = GridDataset(args.data)
     args.d = common.resolve_grid_d(args.d, ds)
     grid = GridSpec(d=args.d)
-    pipe = PipelineConfig(grid=grid, cond_bins=args.cond_bins)
+    pipe = PipelineConfig(grid=grid, cond_bins=args.cond_bins,
+                          binary_threshold=args.binary_threshold)
     _, conds, _ = bin_and_encode(
         np.asarray(ds.arrays["target"]), args.cond_bins
     )

@@ -298,7 +298,7 @@ def test_generate_fused(ws, dataset, vae_ckpt, unet_ckpt):
         "--batch-size", str(BS), "--var", "0.5",
         "--vae-ckpt", vae_ckpt, "--unet-ckpt", unet_ckpt,
         "--num-classes", str(NCLS), *VAE_GEOM,
-        "--output", out, "--fused",
+        "--output", out, "--fused", "--binary-threshold", "0.6",
     ])
     assert os.path.exists(os.path.join(out, "results.json"))
 
@@ -347,6 +347,7 @@ def test_evaluate_train_split_diagnostic(ws, dataset, vae_ckpt, unet_ckpt):
         "--data", dataset, "--vae-ckpt", vae_ckpt, "--unet-ckpt", unet_ckpt,
         "--batch-size", str(BS), "--num-classes", str(NCLS), *VAE_GEOM,
         "--eval-split", "train", "--samples", "16", "--output", out,
+        "--binary-threshold", "0.6",
     ])
     assert os.path.exists(out)
 
