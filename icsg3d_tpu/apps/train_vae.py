@@ -199,6 +199,35 @@ def main(argv=None):
                     f"for {len(train_ids)} samples (gate: 12 GB) - use a "
                     "smaller --samples or drop the flag"
                 )
+            if args.epoch_scan:
+                # The whole-epoch scan program's temp arena must coexist
+                # with the cache: measured 5.47 G at bs=128/32^3
+                # (tools/scan_mem_probe.py --flat; scales ~linearly with
+                # batch and ~d^3), and three hardware attempts at the
+                # flagship 9.96 G-cache config OOM'd at execution with
+                # <0.5 G margin on the 15.75 G chip.  When cache + split
+                # + temps don't fit, drop the cache and say why — the
+                # scan path still wins (it removes the ~2-RTT/step host
+                # tax that dominates chunked epochs); the extra true-side
+                # perceptual forward is the cheaper loss.
+                hbm = 15.75e9
+                temp_est = 5.5e9 * (tc.batch_size / 128.0) * (
+                    args.d / 32.0) ** 3
+                split_bytes = (
+                    len(train_ids) * args.d ** 3
+                    * np.dtype(args.ship_dtype).itemsize
+                )
+                budget = hbm - temp_est - split_bytes - 1.0e9  # slack
+                if need > budget:
+                    print(
+                        f"--cache-true-features disabled for --epoch-scan: "
+                        f"cache {need / 1e9:.2f} GB > budget "
+                        f"{budget / 1e9:.2f} GB (HBM {hbm / 1e9:.2f} - scan "
+                        f"temps ~{temp_est / 1e9:.2f} - resident split "
+                        f"{split_bytes / 1e9:.2f} - 1.0 slack); the "
+                        "true-side perceptual forward runs per step instead"
+                    )
+                    args.cache_true_features = False
 
         def split_host(ids):
             rows = np.array([ds.index[i] for i in ids])

@@ -76,16 +76,17 @@ for stage in ${*:-eval64train vaefb90 genfb90 evalfb90}; do
       fi
       rem=$((TOTAL - done_e))
       [ $rem -le 0 ] && { stamp "vaefb90 already complete"; continue; }
-      # --remat-perceptual: the flat program's AOT peak is 15.25 G on a
-      # 15.75 G chip and the first attempt OOM'd at execution beside the
-      # model state; remat shaves temps to 14.78 G (scan_mem_probe
-      # --flat --remat) at the cost of one recomputed truncated U-Net
-      # forward in the backward — identical loss math.
+      # The cache+scan combination does not fit the 15.75 G chip at the
+      # flagship config (four hardware attempts: compile-OOM unflat,
+      # then execution-OOM at <0.5 G margin flat and flat+remat); the
+      # trainer's auto-gate now drops the cache for the scan attempt and
+      # logs why.  Uncached scan: 5.0 G program, and still faster than
+      # chunked (no 2-RTT/step host tax).
       run vaefb90 10800 python -m icsg3d_tpu.apps.train_vae \
         --data data/ns10k --ckpt $CKPT \
         --unet-ckpt checkpoints/ns10k/unet --kld-floor $KLD_FLOOR \
         --batch-size 128 --lr 5e-4 --nrot 0 --epochs $rem \
-        --cache-true-features --plot-every 50 --remat-perceptual \
+        --cache-true-features --plot-every 50 \
         --resident --ship-dtype float16 --epoch-scan --ckpt-every 25 \
         ${vextra[@]+"${vextra[@]}"} \
         && { stamp "vaefb90 complete (single-process epoch-scan)"; continue; }
