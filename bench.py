@@ -291,6 +291,14 @@ def section_vae32():
     except Exception:
         flops_per_step = 0.0
 
+    # the timing loop DONATES the state it is fed; copy now for the
+    # cached-feature sub-section below (copying after would read deleted
+    # buffers)
+    cstate = (
+        jax.tree_util.tree_map(lambda a: a.copy(), state)
+        if os.environ.get("BENCH_SKIP_CACHED") != "1" else None
+    )
+
     n_steps = 20
     dt, mets = _time_steps(train_step, state, batch, key, n_steps)
     n_chips = len(jax.devices())
@@ -323,8 +331,6 @@ def section_vae32():
             cbatch = dict(batch)
             for tap, f in zip(vae_cfg.perceptual_taps, feats):
                 cbatch[f"pfeat_{tap}"] = jax.device_put(f, shard)
-            # train_step donates its state arg; feed a copy
-            cstate = jax.tree_util.tree_map(lambda a: a.copy(), state)
             cdt, _ = _time_steps(train_step, cstate, cbatch, key, n_steps)
             cached_rate = n_steps * batch_size / cdt / n_chips
         except Exception as e:
