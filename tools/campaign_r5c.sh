@@ -32,14 +32,18 @@ run() {
 for stage in ${*:-unet64b diag64b gen64b}; do
   case $stage in
     unet64b)
-      # resume the 50-epoch checkpoint; epoch-scan, bs 8 (the round-4
-      # 64^3 U-Net operating point), resident split (64^3 grids +
-      # labels fit trivially beside the scan temps at bs 8)
-      run unet64b 10800 python -m icsg3d_tpu.apps.train_unet \
-        --data data/mix64 --ckpt checkpoints/mix64/unet \
-        --batch-size 8 --lr 3e-6 --nrot 0 --epochs 100 \
-        --resident --ship-dtype float16 --epoch-scan --ckpt-every 25 \
-        --resume || exit 1
+      # The epoch-scan form of this stage crashed the TPU WORKER twice
+      # (UNAVAILABLE "worker process crashed", before epoch 0 printed) —
+      # the 64^3 U-Net + flat-resident scan is a new combination and
+      # faults the runtime, so this stage uses the round-4-proven
+      # per-step resident path in 25-epoch chunks instead.
+      for c in 1 2 3; do
+        run unet64b_$c 7200 python -m icsg3d_tpu.apps.train_unet \
+          --data data/mix64 --ckpt checkpoints/mix64/unet \
+          --batch-size 8 --lr 3e-6 --nrot 0 --epochs 25 \
+          --resident --ship-dtype float16 --ckpt-every 25 \
+          --resume || exit 1
+      done
       ;;
     diag64b)
       run diag64b 3600 python tools/diag64_binary.py --data data/mix64 \
