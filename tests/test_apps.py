@@ -573,6 +573,66 @@ class TestQueryOffline:
         assert rows[1]["diel.poly_electronic"] == ""  # missing sub-doc ok
 
 
+class TestMergeCloseAtoms:
+    """merge_close_atoms: sub-cutoff clusters collapse to their centroid
+    with majority species; distant atoms are untouched."""
+
+    def test_identity_when_off(self):
+        from icsg3d_tpu.apps.generate import merge_close_atoms
+
+        z = np.array([8, 22])
+        c = np.array([[0.0, 0, 0], [0.1, 0, 0]])
+        z2, c2 = merge_close_atoms(z, c, 0.0)
+        assert len(z2) == 2
+
+    def test_merges_cluster_to_centroid(self):
+        from icsg3d_tpu.apps.generate import merge_close_atoms
+
+        z = np.array([19, 19, 19, 8])
+        c = np.array([
+            [0.0, 0.0, 0.0], [0.3, 0.0, 0.0], [0.0, 0.3, 0.0],
+            [3.0, 3.0, 3.0],
+        ])
+        z2, c2 = merge_close_atoms(z, c, 0.7)
+        assert sorted(z2.tolist()) == [8, 19]
+        k = c2[list(z2).index(19)]
+        np.testing.assert_allclose(k, [0.1, 0.1, 0.0], atol=1e-9)
+
+    def test_single_linkage_chain(self):
+        from icsg3d_tpu.apps.generate import merge_close_atoms
+
+        # a chain where ends are > cutoff apart but linked through the
+        # middle still merges into ONE atom (single linkage)
+        z = np.array([19, 19, 19])
+        c = np.array([[0.0, 0, 0], [0.5, 0, 0], [1.0, 0, 0]])
+        z2, _ = merge_close_atoms(z, c, 0.6)
+        assert len(z2) == 1
+
+    def test_majority_species_wins(self):
+        from icsg3d_tpu.apps.generate import merge_close_atoms
+
+        z = np.array([19, 19, 17])
+        c = np.array([[0.0, 0, 0], [0.1, 0, 0], [0.2, 0, 0]])
+        z2, _ = merge_close_atoms(z, c, 0.7)
+        assert z2.tolist() == [19]
+
+    def test_distant_atoms_untouched(self):
+        from icsg3d_tpu.apps.generate import merge_close_atoms
+
+        rng = np.random.default_rng(0)
+        c = rng.uniform(0, 10, (6, 3))
+        # spread out: min pairwise distance > 1 with high probability
+        while True:
+            d = np.linalg.norm(c[:, None] - c[None], axis=-1)
+            if (d[np.triu_indices(6, 1)] > 1.0).all():
+                break
+            c = rng.uniform(0, 10, (6, 3))
+        z = np.arange(1, 7)
+        z2, c2 = merge_close_atoms(z, c, 0.7)
+        assert len(z2) == 6
+        np.testing.assert_allclose(np.sort(c2, axis=0), np.sort(c, axis=0))
+
+
 class TestHistoryAppend:
     """Chunked --resume campaigns accumulate the full training curve:
     each chunk's _finish appends its epochs to ckpt/history.json instead

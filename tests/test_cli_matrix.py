@@ -311,7 +311,7 @@ def test_generate_save_grids(ws, dataset, vae_ckpt, unet_ckpt):
         "--data", dataset, "--base", base, "--nsamples", "8",
         "--batch-size", str(BS), "--vae-ckpt", vae_ckpt,
         "--unet-ckpt", unet_ckpt, "--num-classes", str(NCLS), *VAE_GEOM,
-        "--output", out, "--save-grids",
+        "--output", out, "--save-grids", "--merge-closer-than", "0.7",
     ])
     grids = os.path.join(out, "grids")
     assert os.path.isdir(grids)
