@@ -48,6 +48,7 @@ def evaluate_reconstructions(
     batch_size: int = 10,
     pipe: PipelineConfig = PipelineConfig(),
     seed: int = 0,
+    merge_closer_than: float = 0.0,
 ) -> Dict:
     """Per-sample EMD / atom-count / lattice errors, means over the split.
 
@@ -125,6 +126,12 @@ def evaluate_reconstructions(
                     np.asarray(mu_p) * dv_pred[i]
                     - grid.eps_frac * l_pred[i] + dv_pred[i] / 2.0
                 ) if len(mu_p) else np.zeros((0, 3))
+                if merge_closer_than > 0 and len(cart_p):
+                    from icsg3d_tpu.apps.generate import merge_close_atoms
+
+                    atoms_p, cart_p = merge_close_atoms(
+                        np.asarray(atoms_p), cart_p, merge_closer_than
+                    )
 
                 if has_sites:
                     zt = batch["site_z"][i]
@@ -239,6 +246,10 @@ def main(argv=None):
                         "At 64³ the head is miscalibrated — 0.9 matches "
                         "the true occupied fraction and halves EMD "
                         "(tools/diag64_binary.py sweep)")
+    p.add_argument("--merge-closer-than", type=float, default=0.0,
+                   help="merge extracted atoms closer than this many "
+                        "Angstrom before scoring (0 = off; see "
+                        "apps/generate.py merge_close_atoms)")
     p.add_argument("--eval-split", default="val", choices=("val", "train"),
                    help="which split to reconstruct+evaluate.  'train' is "
                         "a DIAGNOSTIC (never a headline number): comparing "
@@ -274,6 +285,7 @@ def main(argv=None):
     results = evaluate_reconstructions(
         vae_model, vae_vars, unet_model, unet_vars, ds, val_ids, conds_val,
         batch_size=args.batch_size, pipe=pipe,
+        merge_closer_than=args.merge_closer_than,
     )
     summary = {
         k: v for k, v in results.items()
