@@ -20,7 +20,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
-from typing import Dict, List, Sequence
+from typing import Dict, List, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -148,6 +148,47 @@ def merge_close_atoms(atoms: np.ndarray, cart: np.ndarray, cutoff: float):
     return np.asarray(za), np.asarray(ca)
 
 
+def _structure_fields(lattice, atoms_raw, cart_raw, cutoff, pipe):
+    """Post-watershed fields for ONE merge cutoff: {structure, atoms,
+    coords, formula, valid}.  Factored out so a sweep over cutoffs
+    reuses the expensive decode+segment+watershed work — the cutoff only
+    touches this cheap host arithmetic."""
+    za, ca = merge_close_atoms(
+        np.asarray(atoms_raw).astype(int), cart_raw, cutoff
+    )
+    structure = Structure.from_cartesian(
+        lattice, za, ca, angles=pipe.cell_angles,
+    )
+    return {
+        "structure": structure,
+        "atoms": np.asarray(za, int).tolist(),
+        "coords": np.asarray(ca).tolist(),
+        "formula": structure.reduced_formula,
+        "valid": bool(structure.is_valid()),
+    }
+
+
+def _apply_cutoffs(rec, lattice, atoms_raw, cart_raw, pipe,
+                   merge_closer_than, merge_sweep):
+    """Mutate ``rec`` with the primary cutoff's fields, plus a
+    ``by_cutoff`` dict when ``merge_sweep`` lists extra cutoffs (one
+    decode/watershed, many merge variants)."""
+    rec.update(
+        _structure_fields(lattice, atoms_raw, cart_raw, merge_closer_than,
+                          pipe)
+    )
+    if merge_sweep:
+        rec["by_cutoff"] = {}
+        for c in merge_sweep:
+            if c == merge_closer_than:
+                entry = {k: rec[k] for k in
+                         ("structure", "atoms", "coords", "formula", "valid")}
+            else:
+                entry = _structure_fields(lattice, atoms_raw, cart_raw, c,
+                                          pipe)
+            rec["by_cutoff"][f"{c:g}"] = entry
+
+
 def generate_structures_fused(
     vae_model,
     vae_vars,
@@ -163,6 +204,7 @@ def generate_structures_fused(
     seed: int = 0,
     max_atoms: int = 64,
     merge_closer_than: float = 0.0,
+    merge_sweep: Optional[Sequence[float]] = None,
 ) -> List[Dict]:
     """Fast-path generation: one fused device program per batch, no
     per-sample host loop.  Atom splitting uses the device connected-component
@@ -204,21 +246,9 @@ def generate_structures_fused(
             sel = valid[i]
             try:
                 if sel.any():
-                    za, ca = merge_close_atoms(
-                        atoms[i][sel], cart[i][sel], merge_closer_than
-                    )
-                    structure = Structure.from_cartesian(
-                        lattice[i], za, ca, angles=pipe.cell_angles,
-                    )
-                    rec.update(
-                        {
-                            "structure": structure,
-                            "atoms": np.asarray(za, int).tolist(),
-                            "coords": np.asarray(ca).tolist(),
-                            "formula": structure.reduced_formula,
-                            "valid": bool(structure.is_valid()),
-                        }
-                    )
+                    _apply_cutoffs(rec, lattice[i], atoms[i][sel],
+                                   cart[i][sel], pipe, merge_closer_than,
+                                   merge_sweep)
             except Exception as e:  # noqa: BLE001 — degenerate decode
                 # (e.g. ~zero lattice span -> singular cell matrix) must
                 # cost one sample, not the whole run; host-path parity
@@ -243,6 +273,7 @@ def generate_structures(
     seed: int = 0,
     keep_grids: bool = False,
     merge_closer_than: float = 0.0,
+    merge_sweep: Optional[Sequence[float]] = None,
 ) -> List[Dict]:
     """Sample around the base compound's posterior mean and decode to atoms.
 
@@ -311,21 +342,8 @@ def generate_structures(
                     - grid.eps_frac * lattice[i]
                     + dv[i] / 2.0
                 )
-                za, ca = merge_close_atoms(
-                    atoms.astype(int), cart, merge_closer_than
-                )
-                structure = Structure.from_cartesian(
-                    lattice[i], za, ca, angles=pipe.cell_angles,
-                )
-                rec.update(
-                    {
-                        "structure": structure,
-                        "atoms": np.asarray(za, int).tolist(),
-                        "coords": np.asarray(ca).tolist(),
-                        "formula": structure.reduced_formula,
-                        "valid": bool(structure.is_valid()),
-                    }
-                )
+                _apply_cutoffs(rec, lattice[i], atoms, cart, pipe,
+                               merge_closer_than, merge_sweep)
             except Exception as e:  # watershed robustness (generate.py:246-248)
                 rec["error"] = str(e)
             records.append(rec)
@@ -348,6 +366,11 @@ def annotate_records(
         if r.get("atoms"):
             r["electronegativity"] = average_electronegativity(r["atoms"])
             r["charge_balanced"] = int(is_charge_balanced(r["atoms"]))
+        for entry in (r.get("by_cutoff") or {}).values():
+            if entry.get("atoms"):
+                entry["charge_balanced"] = int(
+                    is_charge_balanced(entry["atoms"])
+                )
         pred_target = (r.get("properties") or {}).get(target)
         if pred_target is not None and base_target != 0:
             r["target_diff_pct"] = abs(
@@ -366,7 +389,7 @@ def _write_results_csv(rows: Sequence[Dict], path: str) -> None:
         fr = {k: v for k, v in r.items() if k != "properties"}
         fr.update(r.get("properties") or {})
         for k, v in fr.items():
-            if isinstance(v, (list, tuple)):
+            if isinstance(v, (list, tuple, dict)):
                 fr[k] = json.dumps(v)
         flat.append(fr)
     cols: List[str] = []
@@ -457,12 +480,15 @@ def main(argv=None):
                    help="U-Net occupancy (sigmoid) threshold for the "
                         "extraction mask (generate.py:224 default 0.8; "
                         "0.9 recommended at 64³ — tools/diag64_binary.py)")
-    p.add_argument("--merge-closer-than", type=float, default=0.0,
+    p.add_argument("--merge-closer-than", default="0",
                    help="merge extracted atoms closer than this many "
                         "Angstrom into their centroid (0 = off, the "
                         "reference-faithful default).  Sub-0.7 A pairs "
                         "are watershed split artifacts of lumpy 64³ "
-                        "decodes, not physical atoms")
+                        "decodes, not physical atoms.  A comma list "
+                        "(e.g. 0,0.7) sweeps every cutoff in ONE run — "
+                        "the decode/segment/watershed work is shared and "
+                        "only the cheap merge+validity step repeats")
     p.add_argument("--output", default="output/generated")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument(
@@ -479,6 +505,15 @@ def main(argv=None):
     if args.save_grids and args.fused:
         p.error("--save-grids requires the host path (drop --fused): the "
                 "fused program keeps grids on device")
+    try:
+        merge_cutoffs = [
+            float(x) for x in str(args.merge_closer_than).split(",") if x != ""
+        ]
+    except ValueError:
+        p.error(f"--merge-closer-than must be a float or comma list of "
+                f"floats, got {args.merge_closer_than!r}")
+    if not merge_cutoffs:
+        merge_cutoffs = [0.0]
 
     from icsg3d_tpu.data.binning import bin_and_encode
     from icsg3d_tpu.data.store import GridDataset
@@ -518,7 +553,8 @@ def main(argv=None):
         var=args.var,
         pipe=pipe,
         seed=args.seed,
-        merge_closer_than=args.merge_closer_than,
+        merge_closer_than=merge_cutoffs[0],
+        merge_sweep=merge_cutoffs if len(merge_cutoffs) > 1 else None,
         **({"keep_grids": True} if args.save_grids else {}),
     )
 
@@ -539,6 +575,11 @@ def main(argv=None):
     if args.save_grids:
         os.makedirs(os.path.join(args.output, "grids"), exist_ok=True)
     n_valid = n_balanced = 0
+    sweep_counts = {f"{c:g}": {"valid": 0, "balanced": 0}
+                    for c in merge_cutoffs[1:]}
+    for key in sweep_counts:
+        os.makedirs(os.path.join(args.output, "cifs", f"m{key}"),
+                    exist_ok=True)
     rows = []
     for i, r in enumerate(records):
         if r.get("valid"):
@@ -546,6 +587,17 @@ def main(argv=None):
             path = os.path.join(args.output, "cifs", f"gen-{i}.cif")
             write_cif(r["structure"], path)
             r["cif"] = path
+        for key, entry in (r.get("by_cutoff") or {}).items():
+            if key not in sweep_counts:
+                continue  # primary cutoff already counted above
+            if entry.get("valid"):
+                sweep_counts[key]["valid"] += 1
+                path = os.path.join(
+                    args.output, "cifs", f"m{key}", f"gen-{i}.cif"
+                )
+                write_cif(entry["structure"], path)
+                entry["cif"] = path
+            sweep_counts[key]["balanced"] += entry.get("charge_balanced", 0)
         if args.save_grids and "density_grid" in r:
             np.save(
                 os.path.join(args.output, "grids", f"gen-{i}_density.npy"),
@@ -556,12 +608,16 @@ def main(argv=None):
                 r["species_grid"],
             )
         n_balanced += r.get("charge_balanced", 0)
-        rows.append(
-            {
-                k: v for k, v in r.items()
-                if k not in ("structure", "density_grid", "species_grid")
+        row = {
+            k: v for k, v in r.items()
+            if k not in ("structure", "density_grid", "species_grid")
+        }
+        if "by_cutoff" in row:
+            row["by_cutoff"] = {
+                key: {k: v for k, v in entry.items() if k != "structure"}
+                for key, entry in row["by_cutoff"].items()
             }
-        )
+        rows.append(row)
     with open(os.path.join(args.output, "results.json"), "w") as f:
         json.dump(rows, f, indent=1)
     _write_results_csv(rows, os.path.join(args.output, "results.csv"))
@@ -569,6 +625,11 @@ def main(argv=None):
         f"generated {len(records)} samples, {n_valid} valid structures "
         f"({n_balanced} charge-balanced) -> {args.output}"
     )
+    for key, c in sweep_counts.items():
+        print(
+            f"  merge-closer-than {key}: {c['valid']} valid structures "
+            f"({c['balanced']} charge-balanced)"
+        )
 
 
 if __name__ == "__main__":

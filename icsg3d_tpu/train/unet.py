@@ -330,6 +330,7 @@ def train_unet(
     batch_size: Optional[int] = None,
     shuffle_seed: int = 0,
     epoch_scan: bool = False,
+    plot_min_interval: int = 1,
 ):
     """Epoch loop with best-val checkpointing (and best-val segmentation
     plots when plot_dir is given).
@@ -368,6 +369,7 @@ def train_unet(
     ckpt = CheckpointManager(checkpoint_dir) if checkpoint_dir else None
     history = []
     last_val_batch = None
+    _last_plot_epoch = [-plot_min_interval]  # epoch 0 may plot
     if resident:
         if not batch_size:
             raise ValueError("resident_data requires batch_size")
@@ -495,8 +497,15 @@ def train_unet(
             improved = ckpt.save_epoch(
                 state, vm["loss"], epoch, latest_every=latest_every
             )
-            if improved and plot_dir and last_val_batch is not None:
+            # plot_min_interval thins best-val plot refreshes: early
+            # training improves val nearly every epoch, and each refresh
+            # fetches device arrays through the leaky remote plugin and
+            # renders matplotlib on the host (measured ~56 s/epoch on a
+            # 1-vCPU box at 64^3) — see train/vae.py for the same fix
+            if (improved and plot_dir and last_val_batch is not None
+                    and epoch - _last_plot_epoch[0] >= plot_min_interval):
                 _save_best_plots(model, state, last_val_batch, plot_dir)
+                _last_plot_epoch[0] = epoch
             t_save = time.time() - t_save
             if t_save > 5:  # the remote-fetch/plot tax hides outside the
                 # printed epoch time — see train/vae.py

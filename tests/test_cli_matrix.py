@@ -319,6 +319,34 @@ def test_generate_save_grids(ws, dataset, vae_ckpt, unet_ckpt):
         os.listdir(grids))
 
 
+def test_generate_merge_sweep(ws, dataset, vae_ckpt, unet_ckpt):
+    """--merge-closer-than comma list: one decode, per-cutoff records.
+
+    Primary fields use the first cutoff; every extra cutoff lands in
+    by_cutoff with its own atoms/valid/charge_balanced, and its valid
+    structures get their own cifs/m<cutoff>/ directory."""
+    base = GridDataset(dataset).ids[0]
+    out = str(ws / "gen_sweep")
+    app_generate.main([
+        "--data", dataset, "--base", base, "--nsamples", "8",
+        "--batch-size", str(BS), "--vae-ckpt", vae_ckpt,
+        "--unet-ckpt", unet_ckpt, "--num-classes", str(NCLS), *VAE_GEOM,
+        "--output", out, "--merge-closer-than", "0,0.7",
+    ])
+    assert os.path.isdir(os.path.join(out, "cifs", "m0.7"))
+    with open(os.path.join(out, "results.json")) as f:
+        records = json.load(f)
+    swept = [r for r in records if r.get("by_cutoff")]
+    for r in swept:
+        assert set(r["by_cutoff"]) == {"0", "0.7"}
+        # the 0-cutoff entry mirrors the primary (first-cutoff) fields
+        assert r["by_cutoff"]["0"]["atoms"] == r["atoms"]
+        assert "structure" not in r["by_cutoff"]["0.7"]  # JSON-clean
+        # merging can only reduce (or keep) the atom count
+        assert (len(r["by_cutoff"]["0.7"]["atoms"])
+                <= len(r["by_cutoff"]["0"]["atoms"]))
+
+
 # ---------------------------------------------------------------------------
 # evaluate
 # ---------------------------------------------------------------------------
