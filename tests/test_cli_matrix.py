@@ -380,6 +380,23 @@ def test_evaluate_train_split_diagnostic(ws, dataset, vae_ckpt, unet_ckpt):
     assert os.path.exists(out)
 
 
+def test_evaluate_merge_closer_than(ws, dataset, vae_ckpt, unet_ckpt):
+    """Documented form: evaluate --merge-closer-than collapses watershed
+    split artifacts before the EMD assignment; a large cutoff can only
+    reduce (or keep) the predicted atom count, so |Δatoms| vs the
+    merge-free run shifts toward fewer predicted atoms."""
+    out = str(ws / "eval_merge.json")
+    app_evaluate.main([
+        "--data", dataset, "--vae-ckpt", vae_ckpt, "--unet-ckpt", unet_ckpt,
+        "--batch-size", str(BS), "--num-classes", str(NCLS), *VAE_GEOM,
+        "--samples", "16", "--output", out,
+        "--merge-closer-than", "0.7",
+    ])
+    with open(out) as f:
+        res = json.load(f)
+    assert "mean_emd" in res and res["n_evaluated"] > 0
+
+
 # ---------------------------------------------------------------------------
 # interpolate / view
 # ---------------------------------------------------------------------------
